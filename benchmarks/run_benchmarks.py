@@ -1,0 +1,72 @@
+"""Run the benchmark fixtures and write CSV results.
+
+Analog of the reference's benchmark executables + CSV outputs
+(ref: benchmarks/Solvers.cpp, SolversWarmStart.cpp, Decomposition.cpp,
+generatePlot.py). Usage:
+
+    python benchmarks/run_benchmarks.py [--out out/] [--solver f64|mixed]
+                                        [--suite all|size|active|warm|decomp]
+"""
+import argparse
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from jrlqp_tpu.bench import (
+    bench_active_sweep,
+    bench_decompositions,
+    bench_size_sweep,
+    bench_warm_start_trajectory,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/out")
+    ap.add_argument("--solver", default="f64", choices=["f64", "mixed"])
+    ap.add_argument("--suite", default="all",
+                    choices=["all", "size", "active", "warm", "decomp"])
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    rows = []
+    if args.suite in ("all", "size"):
+        rows += [r.row() for r in bench_size_sweep(batch=args.batch,
+                                                   solver=args.solver)]
+    if args.suite in ("all", "active"):
+        rows += [r.row() for r in bench_active_sweep(batch=args.batch,
+                                                     solver=args.solver)]
+    for r in rows:
+        print(json.dumps(r))
+    if rows:
+        path = os.path.join(args.out, f"solvers_{args.solver}.csv")
+        with open(path, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=rows[0].keys())
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {path}")
+
+    if args.suite in ("all", "warm"):
+        r = bench_warm_start_trajectory(batch=min(args.batch, 32))
+        print(json.dumps(r))
+        with open(os.path.join(args.out, "warm_start.json"), "w") as fh:
+            json.dump(r, fh, indent=2)
+
+    if args.suite in ("all", "decomp"):
+        rows = bench_decompositions(batch=min(args.batch, 16))
+        for r in rows:
+            print(json.dumps(r))
+        with open(os.path.join(args.out, "decomposition.json"), "w") as fh:
+            json.dump(rows, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

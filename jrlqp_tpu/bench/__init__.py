@@ -1,0 +1,18 @@
+"""Benchmark harness (reference: benchmarks/ google-benchmark suite)."""
+from .harness import (
+    BenchResult,
+    bench_active_sweep,
+    bench_decompositions,
+    bench_size_sweep,
+    bench_warm_start_trajectory,
+    time_batch,
+)
+
+__all__ = [
+    "BenchResult",
+    "bench_active_sweep",
+    "bench_decompositions",
+    "bench_size_sweep",
+    "bench_warm_start_trajectory",
+    "time_batch",
+]

@@ -1,0 +1,216 @@
+"""Benchmark harness: timing fixtures mirroring the reference's
+google-benchmark suite (ref: benchmarks/Solvers.cpp:613-639,
+benchmarks/SolversWarmStart.cpp:218-276, benchmarks/Decomposition.cpp).
+
+The reference measures us/solve for one solver call at a time; on TPU the
+unit of work is a *batch*, so every fixture here reports us/solve =
+wall_time / batch and solves/sec, plus mean GI iterations (the reference's
+``it`` counter, SolversWarmStart.cpp:250).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..problems import QPProblem
+from ..solver.dense import solve, solve_batch
+from ..solver.mixed import solve_mixed
+from ..solver.warm_start import solve_warm
+from ..testing.batch_gen import random_qp_batch
+from ..testing.kkt import kkt_residual
+from ..types import SolverOptions
+
+__all__ = [
+    "BenchResult",
+    "time_batch",
+    "bench_size_sweep",
+    "bench_active_sweep",
+    "bench_warm_start_trajectory",
+    "bench_decompositions",
+]
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    batch: int
+    wall_s: float
+    us_per_solve: float
+    solves_per_sec: float
+    mean_iterations: float
+    max_kkt_residual: float
+    success_rate: float
+
+    def row(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _timeit(fn: Callable, n_rep: int = 3) -> float:
+    best = np.inf
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_batch(
+    name: str,
+    pbs: QPProblem,
+    opt: SolverOptions = SolverOptions(max_iter=150),
+    solver: str = "f64",
+    n_rep: int = 3,
+) -> BenchResult:
+    """Time one jitted batched solve (compile excluded)."""
+    if solver == "mixed":
+        run = jax.jit(jax.vmap(lambda p: solve_mixed(p, opt)))
+    else:
+        run = jax.jit(lambda p: solve_batch(p, opt))
+    res = jax.block_until_ready(run(pbs))  # compile + warmup
+    wall = _timeit(lambda: run(pbs), n_rep)
+    batch = pbs.G.shape[0]
+    resid = jax.vmap(kkt_residual)(res.x, res.multipliers, pbs)
+    ok = res.status == 0
+    return BenchResult(
+        name=name,
+        batch=batch,
+        wall_s=wall,
+        us_per_solve=wall / batch * 1e6,
+        solves_per_sec=batch / wall,
+        mean_iterations=float(jnp.mean(res.iterations)),
+        max_kkt_residual=float(jnp.max(jnp.where(ok, resid, 0.0))),
+        success_rate=float(jnp.mean(ok.astype(jnp.float64))),
+    )
+
+
+def bench_size_sweep(
+    sizes=(10, 25, 50, 75, 100),
+    batch: int = 64,
+    solver: str = "f64",
+    seed: int = 0,
+) -> list[BenchResult]:
+    """Variables sweep at m = 2n (ref: Solvers.cpp size sweep 10-100 vars)."""
+    out = []
+    for n in sizes:
+        pbs = random_qp_batch(jax.random.key(seed), batch, n, 2 * n, act_frac=0.3)
+        out.append(time_batch(f"size/n={n}/m={2 * n}", pbs, solver=solver))
+    return out
+
+
+def bench_active_sweep(
+    n: int = 50,
+    m: int = 100,
+    fracs=(0.0, 0.1, 0.3, 0.5, 0.8),
+    batch: int = 64,
+    solver: str = "f64",
+    seed: int = 0,
+) -> list[BenchResult]:
+    """Active-fraction sweep (ref: Solvers.cpp %active fixtures)."""
+    out = []
+    for fr in fracs:
+        pbs = random_qp_batch(jax.random.key(seed), batch, n, m, act_frac=fr)
+        out.append(time_batch(f"active/{int(fr * 100)}%", pbs, solver=solver))
+    return out
+
+
+def bench_warm_start_trajectory(
+    n: int = 20,
+    m: int = 40,
+    steps: int = 100,
+    batch: int = 32,
+    shift_scale: float = 0.02,
+    seed: int = 0,
+) -> dict:
+    """Control-loop trajectory benchmark
+    (ref: benchmarks/SolversWarmStart.cpp:31-59,162-169): a batch of QPs
+    whose bounds drift a little each step; the warm solver carries the
+    previous step's active set. Reports mean iterations/step warm vs cold
+    (the reference's ``it`` counter)."""
+    opt = SolverOptions(max_iter=100)
+    base = random_qp_batch(jax.random.key(seed), batch, n, m, act_frac=0.4)
+    key = jax.random.key(seed + 1)
+    # per-step bound drifts, precomputed: (steps, batch, m)
+    drifts = shift_scale * jax.random.normal(key, (steps, batch, m), base.l.dtype)
+
+    def shifted(pb: QPProblem, d):
+        return dataclasses.replace(pb, l=pb.l + d, u=pb.u + d)
+
+    @jax.jit
+    def run_warm(base, drifts):
+        def step(carry, d):
+            hints = carry
+            pbs = jax.vmap(shifted)(base, d)
+            res = jax.vmap(lambda p, h: solve_warm(p, h, opt))(pbs, hints)
+            return res.active_set, (res.iterations, res.status)
+
+        init = jnp.zeros((batch, m + n), jnp.int32)
+        _, (its, sts) = jax.lax.scan(step, init, drifts)
+        return its, sts
+
+    @jax.jit
+    def run_cold(base, drifts):
+        def step(_, d):
+            pbs = jax.vmap(shifted)(base, d)
+            res = jax.vmap(lambda p: solve(p, opt))(pbs)
+            return 0, (res.iterations, res.status)
+
+        _, (its, sts) = jax.lax.scan(step, 0, drifts)
+        return its, sts
+
+    its_w, sts_w = jax.block_until_ready(run_warm(base, drifts))
+    its_c, sts_c = jax.block_until_ready(run_cold(base, drifts))
+    t_w = _timeit(lambda: run_warm(base, drifts))
+    t_c = _timeit(lambda: run_cold(base, drifts))
+    n_solves = steps * batch
+    return dict(
+        name=f"warm_start_trajectory/n={n}/m={m}/steps={steps}",
+        batch=batch,
+        steps=steps,
+        warm_mean_it=float(jnp.mean(its_w[1:])),  # step 0 is effectively cold
+        cold_mean_it=float(jnp.mean(its_c)),
+        warm_us_per_solve=t_w / n_solves * 1e6,
+        cold_us_per_solve=t_c / n_solves * 1e6,
+        warm_success=float(jnp.mean((sts_w == 0).astype(jnp.float64))),
+        cold_success=float(jnp.mean((sts_c == 0).astype(jnp.float64))),
+    )
+
+
+def bench_decompositions(
+    nb: int = 9, s: int = 48, batch: int = 16, seed: int = 0
+) -> list[dict]:
+    """Structured vs dense Cholesky timings (ref: benchmarks/Decomposition.cpp
+    and the IK timing harness in tests/BlockGISolverTest.in.cpp:251-268)."""
+    from ..structured.blocks import block_arrow_llt, tri_block_diag_llt, tri_block_to_dense
+
+    rng = np.random.default_rng(seed)
+    diag = np.zeros((batch, nb, s, s))
+    off = rng.standard_normal((batch, nb - 1, s, s))
+    for b in range(batch):
+        for i in range(nb):
+            A = rng.standard_normal((s, s))
+            diag[b, i] = A @ A.T + nb * s * np.eye(s)
+    diag = jnp.asarray(diag)
+    off = jnp.asarray(off)
+
+    tri = jax.jit(jax.vmap(tri_block_diag_llt))
+    arrow = jax.jit(jax.vmap(lambda d, o: block_arrow_llt(d, o)))
+    dense_in = jax.vmap(tri_block_to_dense)(diag, off)
+    dense = jax.jit(jax.vmap(jnp.linalg.cholesky))
+
+    jax.block_until_ready(tri(diag, off))
+    jax.block_until_ready(arrow(diag, off))
+    jax.block_until_ready(dense(dense_in))
+    t_tri = _timeit(lambda: tri(diag, off))
+    t_arrow = _timeit(lambda: arrow(diag, off))
+    t_dense = _timeit(lambda: dense(dense_in))
+    n = nb * s
+    return [
+        dict(name=f"llt/tri_block/nb={nb}/s={s}", ms=t_tri / batch * 1e3),
+        dict(name=f"llt/block_arrow/nb={nb}/s={s}", ms=t_arrow / batch * 1e3),
+        dict(name=f"llt/dense/n={n}", ms=t_dense / batch * 1e3),
+    ]

@@ -1,0 +1,103 @@
+"""Device-mesh sharding of QP batches.
+
+The reference is a single-process CPU library with no distributed runtime
+(SURVEY.md section 2, parallelism accounting); its benchmark harness solves
+arrays of problems sequentially (ref: benchmarks/Solvers.cpp:154-299). The
+TPU-native equivalent is: thousands of independent QPs vmapped per chip and
+the batch dimension sharded over a ``jax.sharding.Mesh`` with ``shard_map``.
+The GI algorithm needs no cross-problem communication; collectives (psum /
+pmax) appear only for convergence accounting and benchmark reductions, so
+all communication rides ICI/DCN outside the hot loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..problems import QPProblem
+from ..solver.dense import _solve_impl
+from ..solver.state import GIResult
+from ..types import RUNNING, SUCCESS, SolverOptions
+
+__all__ = ["make_mesh", "shard_batch", "solve_sharded", "BatchStats"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all).
+
+    If the default backend has fewer than ``n_devices`` devices, falls back
+    to the CPU backend (virtual host devices via
+    --xla_force_host_platform_device_count) so multi-chip sharding can be
+    validated on a single-chip or CPU-only host."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            devs = jax.devices("cpu")
+        assert len(devs) >= n_devices, (
+            f"need {n_devices} devices, have {len(devs)}"
+        )
+        devs = devs[:n_devices]
+    return jax.make_mesh((len(devs),), (axis,), devices=devs)
+
+
+def shard_batch(pbs: QPProblem, mesh: Mesh, axis: str = "batch") -> QPProblem:
+    """Place a stacked problem batch with its leading dim sharded over
+    ``axis`` (problem data sharded; no replication)."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), pbs)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BatchStats:
+    """Globally-reduced convergence accounting (the only collectives in a
+    sharded solve): total iterations, solved-lane count, max iterations."""
+
+    total_iterations: jax.Array  # () int32, psum over the mesh
+    n_success: jax.Array  # () int32
+    max_iterations: jax.Array  # () int32, pmax
+
+
+def solve_sharded(
+    pbs: QPProblem,
+    opt: SolverOptions = SolverOptions(),
+    mesh: Optional[Mesh] = None,
+    axis: str = "batch",
+):
+    """Solve a stacked batch of QPs sharded over a device mesh.
+
+    Each device vmaps the GI solve over its local shard; a single psum/pmax
+    pass at the end produces global convergence statistics. Returns
+    (GIResult batch sharded like the input, BatchStats).
+    """
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+
+    # check_vma=False: the GI while_loop mixes device-varying problem data
+    # with replicated constants (identity J/R seeds) in its carry; the solve
+    # is embarrassingly parallel, so varying-axis tracking adds nothing.
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def _shard_solve(local: QPProblem):
+        res: GIResult = jax.vmap(lambda p: _solve_impl(p, opt))(local)
+        stats = BatchStats(
+            total_iterations=jax.lax.psum(jnp.sum(res.iterations), axis),
+            n_success=jax.lax.psum(
+                jnp.sum((res.status == SUCCESS).astype(jnp.int32)), axis
+            ),
+            max_iterations=jax.lax.pmax(jnp.max(res.iterations), axis),
+        )
+        return res, stats
+
+    pbs = shard_batch(pbs, mesh, axis)
+    return jax.jit(_shard_solve)(pbs)

@@ -1,0 +1,137 @@
+"""GI solver over structured G (BlockGISolver analog).
+
+TPU-native take on the reference's experimental::BlockGISolver
+(ref: src/experimental/BlockGISolver.cpp:10-486). Design note: the reference
+keeps Q implicit as an OrthonormalSequence whose apply cost grows with the
+add/remove history (SURVEY.md section 3.3); that design is shape-dynamic and
+maps poorly to XLA. Following SURVEY.md section 7 / M4 we instead exploit the
+structure where it pays on TPU -- the O(nb * s^3) blocked factorization and
+the O(n^2 s) computation of J0 = L^{-T} (vs O(n^3) dense) -- and then run
+the same fixed-shape dense-J GI iteration as the dense solver. Results are
+differential-tested against the dense solver at 1e-8, mirroring the
+reference's structured-vs-dense tests (tests/BlockGISolverTest.in.cpp).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..problems import QPProblem
+from ..solver.dense import _add_initial_constraint, finalize, run_loop
+from ..solver.state import GIResult, GIState, initial_state
+from ..types import (
+    EQUALITY,
+    FIXED,
+    NON_POS_HESSIAN,
+    RUNNING,
+    OVERCONSTRAINED_PROBLEM,
+    SolverOptions,
+)
+from .containers import StructuredC, StructuredG
+
+__all__ = ["solve_structured", "structured_qp_problem"]
+
+
+def structured_qp_problem(
+    sg: StructuredG,
+    a: jax.Array,
+    sc: Union[StructuredC, jax.Array],
+    l: jax.Array,
+    u: jax.Array,
+    xl: Optional[jax.Array] = None,
+    xu: Optional[jax.Array] = None,
+) -> QPProblem:
+    """Materialize the dense QPProblem for the GI loop / oracle checks."""
+    n = sg.n
+    C = sc.to_dense() if isinstance(sc, StructuredC) else sc
+    inf = jnp.asarray(jnp.inf, a.dtype)
+    if xl is None:
+        xl = jnp.full((n,), -inf, a.dtype)
+    if xu is None:
+        xu = jnp.full((n,), inf, a.dtype)
+    return QPProblem(G=sg.to_dense(), a=a, C=C, l=l, u=u, xl=xl, xu=xu)
+
+
+def init_state_structured(
+    sg: StructuredG, pb: QPProblem, opt: SolverOptions
+) -> GIState:
+    """Cold init using the structured factorization
+    (ref: BlockGISolver::init_ :62-107): blocked LLT, x = -G^{-1} a via
+    block solves, J = L^{-T} via a blocked multi-rhs solve; then the same
+    equality/fixed auto-activation replay as the dense solver (the
+    reference's structured warm start is unfinished; ours supports the cold
+    path plus equalities, beyond the reference's 0-active restriction
+    :474-481)."""
+    n, m = pb.n, pb.m
+    dt = pb.G.dtype
+
+    fac = sg.llt()
+    posdef = jnp.all(jnp.isfinite(fac.diag))
+    J = fac.inverse_transpose()
+    J = jnp.where(posdef, J, jnp.eye(n, dtype=dt))
+    x = -fac.solve(pb.a)
+    x = jnp.where(posdef, x, jnp.zeros_like(x))
+    f = 0.5 * jnp.dot(pb.a, x)
+
+    base = initial_state(n, m, dt)
+    state = GIState(
+        x=x, f=f, J=J, R=base.R, status=base.status, aorder=base.aorder,
+        u=base.u, q=base.q, it=base.it,
+        term=jnp.where(posdef, RUNNING, NON_POS_HESSIAN).astype(jnp.int32),
+        skip1=base.skip1, sc_idx=base.sc_idx, sc_status=base.sc_status,
+    )
+
+    # auto-activate equalities (l == u) and fixed variables (xl == xu),
+    # identical to the dense path (ref BlockGISolver shares DualSolver init)
+    eq_c = pb.l == pb.u
+    fix_b = pb.xl == pb.xu
+    eqmask = jnp.concatenate([eq_c, fix_b])
+    mt = m + n
+    arange_mt = jnp.arange(mt)
+    perm = jnp.argsort(jnp.where(eqmask, arange_mt, mt + arange_mt)).astype(jnp.int32)
+    neq = jnp.sum(eqmask).astype(jnp.int32)
+    over = neq > n
+    stats = jnp.where(arange_mt < m, EQUALITY, FIXED).astype(jnp.int32)
+
+    def cond(carry):
+        kk, st = carry
+        return (kk < neq) & (st.term == RUNNING)
+
+    def body(carry):
+        kk, st = carry
+        idx = perm[kk]
+        st = _add_initial_constraint(pb, st, idx, stats[idx], opt)
+        return kk + 1, st
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state))
+    term = jnp.where(over & (state.term == RUNNING), OVERCONSTRAINED_PROBLEM,
+                     state.term)
+    return GIState(
+        x=state.x, f=state.f, J=state.J, R=state.R, status=state.status,
+        aorder=state.aorder, u=state.u, q=state.q, it=state.it,
+        term=term.astype(jnp.int32), skip1=state.skip1,
+        sc_idx=state.sc_idx, sc_status=state.sc_status,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def solve_structured(
+    sg: StructuredG,
+    a: jax.Array,
+    sc: Union[StructuredC, jax.Array],
+    l: jax.Array,
+    u: jax.Array,
+    xl: Optional[jax.Array] = None,
+    xu: Optional[jax.Array] = None,
+    opt: SolverOptions = SolverOptions(),
+) -> GIResult:
+    """Solve min 0.5 x'Gx + a'x s.t. l <= Cx <= u, xl <= x <= xu with G a
+    StructuredG (tri-block-diagonal or block-arrow) and C optionally
+    block-diagonal (ref: BlockGISolver::solve :17-60). Jitted by default."""
+    pb = structured_qp_problem(sg, a, sc, l, u, xl, xu)
+    state = init_state_structured(sg, pb, opt)
+    state = run_loop(pb, state, opt)
+    return finalize(pb, state)

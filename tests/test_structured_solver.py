@@ -1,0 +1,122 @@
+"""Structured-vs-dense solver differential tests
+(ref: tests/BlockGISolverTest.in.cpp:70-170): random block problems solved
+by both the dense GI solver and the structured solver must agree to 1e-8."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jrlqp_tpu import QPProblem, SolverOptions, TerminationStatus, solve
+from jrlqp_tpu.structured import (
+    GType,
+    StructuredC,
+    StructuredG,
+    solve_structured,
+    structured_qp_problem,
+)
+from jrlqp_tpu.testing import check_kkt
+
+jit_solve = jax.jit(solve, static_argnames=("opt",))
+
+
+def _rand_structured(rng, nb, s, mc, gtype):
+    diag = np.zeros((nb, s, s))
+    off = rng.standard_normal((nb - 1, s, s))
+    for i in range(nb):
+        A = rng.standard_normal((s, s))
+        diag[i] = A @ A.T + nb * s * np.eye(s)
+    sg = StructuredG(diag=jnp.asarray(diag), off=jnp.asarray(off), gtype=int(gtype))
+    sc = StructuredC(blocks=jnp.asarray(rng.standard_normal((nb, mc, s))))
+    n = nb * s
+    m = nb * mc
+    a = jnp.asarray(rng.standard_normal(n))
+    # bounds around a feasible-ish point so some constraints activate
+    x0 = rng.uniform(-1, 1, n)
+    cx = np.asarray(sc.to_dense()) @ x0
+    l = jnp.asarray(cx - rng.uniform(0.0, 0.5, m))
+    u = jnp.asarray(cx + rng.uniform(0.0, 2.0, m))
+    return sg, a, sc, l, u
+
+
+@pytest.mark.parametrize(
+    "gtype", [GType.TRI_BLOCK_DIAGONAL, GType.BLOCK_ARROW_DOWN, GType.BLOCK_ARROW_UP]
+)
+def test_structured_matches_dense(gtype):
+    rng = np.random.default_rng(int(gtype) + 1)
+    nb, s, mc = 3, 3, 2
+    sg, a, sc, l, u = _rand_structured(rng, nb, s, mc, gtype)
+    pb = structured_qp_problem(sg, a, sc, l, u)
+
+    res_d = jit_solve(pb, SolverOptions())
+    res_s = jax.jit(
+        lambda sg, a, sc, l, u: solve_structured(sg, a, sc, l, u, opt=SolverOptions())
+    )(sg, a, sc, l, u)
+
+    assert int(res_d.status) == int(TerminationStatus.SUCCESS)
+    assert int(res_s.status) == int(TerminationStatus.SUCCESS)
+    np.testing.assert_allclose(
+        np.asarray(res_s.x), np.asarray(res_d.x), rtol=1e-8, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.multipliers), np.asarray(res_d.multipliers),
+        rtol=1e-7, atol=1e-8,
+    )
+    assert bool(check_kkt(res_s.x, res_s.multipliers, pb))
+
+
+def test_structured_with_equalities_and_bounds():
+    rng = np.random.default_rng(42)
+    nb, s, mc = 3, 2, 2
+    sg, a, sc, l, u = _rand_structured(rng, nb, s, mc, GType.TRI_BLOCK_DIAGONAL)
+    n = nb * s
+    # make the first constraint an equality and add box bounds
+    l = l.at[0].set(u[0])
+    xl = jnp.full((n,), -2.0)
+    xu = jnp.full((n,), 2.0)
+    pb = structured_qp_problem(sg, a, sc, l, u, xl, xu)
+
+    res_d = jit_solve(pb, SolverOptions())
+    res_s = jax.jit(
+        lambda sg, a, sc, l, u, xl, xu: solve_structured(
+            sg, a, sc, l, u, xl, xu, opt=SolverOptions()
+        )
+    )(sg, a, sc, l, u, xl, xu)
+    assert int(res_d.status) == int(TerminationStatus.SUCCESS)
+    assert int(res_s.status) == int(TerminationStatus.SUCCESS)
+    np.testing.assert_allclose(
+        np.asarray(res_s.x), np.asarray(res_d.x), rtol=1e-8, atol=1e-8
+    )
+
+
+def test_structured_batched_vmap():
+    """Scenario batches of structured problems vmap (BASELINE config 5)."""
+    rng = np.random.default_rng(7)
+    nb, s, mc = 3, 2, 1
+    sgs, als, scs, ls, us = [], [], [], [], []
+    for _ in range(4):
+        sg, a, sc, l, u = _rand_structured(rng, nb, s, mc, GType.TRI_BLOCK_DIAGONAL)
+        sgs.append(sg)
+        als.append(a)
+        scs.append(sc)
+        ls.append(l)
+        us.append(u)
+    sg_b = jax.tree.map(lambda *x: jnp.stack(x), *sgs)
+    sc_b = jax.tree.map(lambda *x: jnp.stack(x), *scs)
+    a_b = jnp.stack(als)
+    l_b = jnp.stack(ls)
+    u_b = jnp.stack(us)
+    res = jax.jit(
+        jax.vmap(
+            lambda sg, a, sc, l, u: solve_structured(sg, a, sc, l, u,
+                                                     opt=SolverOptions())
+        )
+    )(sg_b, a_b, sc_b, l_b, u_b)
+    assert np.all(np.asarray(res.status) == int(TerminationStatus.SUCCESS))
+    for k in range(4):
+        ref = jit_solve(
+            structured_qp_problem(sgs[k], als[k], scs[k], ls[k], us[k]),
+            SolverOptions(),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.x[k]), np.asarray(ref.x), rtol=1e-8, atol=1e-8
+        )
