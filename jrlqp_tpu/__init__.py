@@ -16,6 +16,15 @@ import jax as _jax
 if not _os.environ.get("JRLQP_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# On TPU the default matmul precision for float32 operands is reduced
+# (bfloat16 passes); the GI iteration's dual-step arithmetic and the
+# iterative-refinement corrections need true float32 contractions. Set
+# JRLQP_TPU_MATMUL_PRECISION to override (e.g. "default" to opt out).
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("JRLQP_TPU_MATMUL_PRECISION", "float32"),
+)
+
 from .problems import LeastSquareProblem, QPProblem, pad_problem, stack_problems
 from .solver.box_single import solve_box
 from .solver.dense import solve, solve_batch

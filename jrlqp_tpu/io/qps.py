@@ -244,6 +244,17 @@ def parse_qps(text: str, name: str = "") -> QPSData:
     )
 
 
-def read_qps(path: str) -> QPSData:
+def read_qps(path: str, engine: str = "auto") -> QPSData:
+    """Read a QPS file. ``engine``: "auto" uses the native C++ parser when
+    built (native/qps_parser.cpp via jrlqp_tpu.io.native) and falls back to
+    this module's Python parser; "native" / "python" force one."""
     with open(path) as fh:
-        return parse_qps(fh.read())
+        text = fh.read()
+    if engine in ("auto", "native"):
+        from . import native
+
+        if native.available():
+            return native.parse_qps_native(text)
+        if engine == "native":
+            raise RuntimeError("native QPS parser not available (run make -C native)")
+    return parse_qps(text)

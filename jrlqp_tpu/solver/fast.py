@@ -1,0 +1,465 @@
+"""Throughput GI engine: explicit inverse-operator iteration + iterative
+refinement.
+
+The reference implements Goldfarb-Idnani with the numerically-preferred
+J = L^-T Q / R factorization and rank-one Givens updates
+(ref: src/GoldfarbIdnaniSolver.cpp:221-256). Those updates are inherently
+sequential (a chain of O(n) dependent rotations) and on TPU they serialize
+the whole batched iteration. This module implements the *other* formulation
+from Goldfarb & Idnani's paper -- maintaining the reduced inverse operators
+
+    H  = G^-1 (I - N N*)          (n x n)   "reduced inverse Hessian"
+    N* = (N^T G^-1 N)^-1 N^T G^-1 (q x n)   "pseudo-inverse of active normals"
+
+explicitly, with O(n^2) *vectorized* rank-one updates:
+
+    add constraint with normal c:   z = H c, r = N* c, delta = c.z
+        H  <- H - z z^T / delta
+        N* <- [N* - r z^T / delta ; z^T / delta]
+    remove active constraint l:     v = G n_l*^T, w = N* v   (w_l = (M^-1)_ll)
+        H  <- H + n_l*^T n_l* / w_l
+        N*_j <- N*_j - (w_j / w_l) n_l*      then delete row l
+
+Every step is a batched gemv / outer product -- MXU-friendly, no triangular
+solves, no Givens chains, no data-dependent trip counts. The price is
+numerical: H/N* squares the conditioning vs the J/R form. The design
+recovers full accuracy the TPU way:
+
+1. run the whole active-set loop in float32 (native MXU speed),
+2. polish with a few steps of mixed-precision iterative refinement on the
+   fixed active set -- residuals of the KKT system in float64, correction
+   solves with the existing f32 H/N* operators:
+       dx = H r1 + N*^T r2,   dlam = N*(r1 - G N*^T r2)
+   which contracts the error by ~cond * eps_f32 per step, reaching <=1e-8
+   KKT residuals after 2-3 steps with only a handful of f64 gemvs.
+
+The J/R solver (:mod:`jrlqp_tpu.solver.dense`) remains the reference-
+faithful f64 path and the differential oracle for this engine.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..problems import QPProblem
+from ..types import (
+    EQUALITY,
+    FIXED,
+    INFEASIBLE,
+    LINEAR_DEPENDENCY_DETECTED,
+    MAX_ITER_REACHED,
+    NON_POS_HESSIAN,
+    OVERCONSTRAINED_PROBLEM,
+    RUNNING,
+    SUCCESS,
+    UPPER,
+    UPPER_BOUND,
+    SolverOptions,
+)
+from .dense import _constraint_normal, _select_violated, _selected_bound
+from .state import GIResult
+
+__all__ = ["solve_fast", "solve_refined", "solve_refined_pallas", "FastState"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FastState:
+    x: jax.Array  # (n,)
+    f: jax.Array  # ()
+    H: jax.Array  # (n, n) reduced inverse Hessian
+    Ns: jax.Array  # (n, n): rows 0..q-1 are N*, rest zero
+    status: jax.Array  # (m+n,) int32
+    aorder: jax.Array  # (n,) int32 activation order
+    u: jax.Array  # (n+1,) condensed multipliers
+    q: jax.Array  # () int32
+    it: jax.Array  # () int32
+    term: jax.Array  # () int32
+    skip1: jax.Array  # () bool
+    sc_idx: jax.Array  # () int32
+    sc_status: jax.Array  # () int32
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+# threshold on delta = c^T H c for declaring the candidate normal linearly
+# dependent on the active set (the analog of the reference's zero-tail test)
+def _dep_eps(dtype):
+    return 1e-10 if dtype == jnp.float64 else 1e-5
+
+
+def _apply_add(state: FastState, nplus, z, r, idx, st, dtype):
+    """Rank-one add update (see module docstring)."""
+    n = state.x.shape[0]
+    delta = jnp.dot(nplus, z)
+    dependent = delta <= _dep_eps(dtype) * (1.0 + jnp.dot(nplus, nplus))
+    dsafe = jnp.where(dependent, 1.0, delta)
+    zn = z / dsafe
+    H = state.H - jnp.outer(z, zn)
+    k = jnp.arange(n)
+    rmask = jnp.where(k < state.q, r, 0.0)
+    Ns = state.Ns - jnp.outer(rmask, zn)
+    Ns = Ns.at[jnp.clip(state.q, 0, n - 1)].set(zn)
+    status = state.status.at[idx].set(st)
+    aorder = state.aorder.at[jnp.clip(state.q, 0, n - 1)].set(idx)
+    term = jnp.where(dependent, LINEAR_DEPENDENCY_DETECTED, state.term)
+    return dataclasses.replace(
+        state, H=H, Ns=Ns, status=status, aorder=aorder,
+        q=state.q + 1, term=term.astype(jnp.int32),
+    )
+
+
+def _apply_remove(pb: QPProblem, state: FastState, l, u_new) -> FastState:
+    """Rank-one remove update + row shift (see module docstring)."""
+    n = pb.n
+    q_old = state.q
+    q_new = q_old - 1
+    k = jnp.arange(n)
+    nl = state.Ns[jnp.clip(l, 0, n - 1)]  # row l of N*
+    v = pb.G @ nl
+    w = state.Ns @ v  # w_j = (M^-1)_jl ; w_l = (M^-1)_ll > 0
+    wl = w[jnp.clip(l, 0, n - 1)]
+    wl_safe = jnp.where(jnp.abs(wl) > 0, wl, 1.0)
+    H = state.H + jnp.outer(nl, nl / wl_safe)
+    wmask = jnp.where((k < q_old) & (k != l), w, 0.0)
+    Ns = state.Ns - jnp.outer(wmask / wl_safe, nl)
+    # delete row l (shift rows l+1..q_old-1 up), zero the freed row
+    src = jnp.where((k >= l) & (k < q_new), k + 1, k)
+    Ns = jnp.take(Ns, jnp.clip(src, 0, n - 1), axis=0)
+    Ns = jnp.where((k[:, None] >= q_new), 0.0, Ns)
+    # active-set bookkeeping (same as the J/R solver)
+    rem_idx = jnp.clip(state.aorder[jnp.clip(l, 0, n - 1)], 0,
+                       state.status.shape[0] - 1)
+    status = state.status.at[rem_idx].set(0)
+    aorder = jnp.take(state.aorder, jnp.clip(src, 0, n - 1))
+    aorder = aorder.at[jnp.clip(q_new, 0, n - 1)].set(-1)
+    u = jnp.take(u_new, jnp.clip(jnp.where((jnp.arange(n + 1) >= l)
+                                           & (jnp.arange(n + 1) < q_old),
+                                           jnp.arange(n + 1) + 1,
+                                           jnp.arange(n + 1)), 0, n))
+    u = u.at[jnp.clip(q_old, 0, n)].set(0.0)
+    return dataclasses.replace(
+        state, H=H, Ns=Ns, status=status, aorder=aorder, u=u, q=q_new,
+    )
+
+
+def fast_iteration(pb: QPProblem, state: FastState, opt: SolverOptions) -> FastState:
+    """One explicit-form GI pass (same control flow as dense.gi_iteration,
+    ref: DualSolver.cpp:103-166)."""
+    n, m = pb.n, pb.m
+    big = opt.big_bnd
+    dtype = pb.G.dtype
+
+    sel_idx, sel_st, viol = _select_violated(pb, state.x, state.status)
+    do_select = ~state.skip1
+    success = do_select & (viol >= 0)
+
+    sc_idx = jnp.where(do_select, sel_idx, state.sc_idx)
+    sc_st = jnp.where(do_select, sel_st, state.sc_status)
+    u0 = jnp.where(do_select, state.u.at[jnp.clip(state.q, 0, n)].set(0.0), state.u)
+    st1 = dataclasses.replace(state, u=u0, sc_idx=sc_idx, sc_status=sc_st)
+
+    nplus = _constraint_normal(pb, st1.sc_idx, st1.sc_status)
+    z = st1.H @ nplus
+    r = st1.Ns @ nplus  # rows >= q are zero, so r is zero there
+
+    # step lengths (identical logic to dense._step_length)
+    k = jnp.arange(n)
+    idxs = jnp.where(k < st1.q, st1.aorder, 0)
+    stat_k = st1.status[jnp.clip(idxs, 0, m + n - 1)]
+    eligible = (
+        (k < st1.q) & (stat_k != EQUALITY) & (stat_k != FIXED) & (r > 0)
+    )
+    r_safe = jnp.where(eligible, r, 1.0)
+    tks = jnp.where(eligible, st1.u[:n] / r_safe, big)
+    l = jnp.argmin(tks).astype(jnp.int32)
+    t1 = jnp.minimum(tks[l], big)
+
+    znorm2 = jnp.dot(z, z)
+    nz = jnp.dot(nplus, z)
+    nx = jnp.dot(nplus, st1.x)
+    sign = jnp.where(
+        (st1.sc_status == UPPER) | (st1.sc_status == UPPER_BOUND), -1.0, 1.0
+    ).astype(dtype)
+    b = _selected_bound(pb, st1.sc_idx, st1.sc_status)
+    nz_safe = jnp.where(nz != 0, nz, 1.0)
+    zthr = jnp.asarray(opt.zero_z_threshold, dtype)
+    t2 = jnp.where(znorm2 > zthr * zthr, (sign * b - nx) / nz_safe, big)
+    t = jnp.minimum(t1, t2)
+
+    infeasible = t >= big
+    dual_step = (t2 >= big) & ~infeasible
+    full_step = ~infeasible & ~dual_step & (t2 <= t1)
+
+    kq = jnp.arange(n + 1)
+    uq = st1.u[jnp.clip(st1.q, 0, n)]
+    r_ext = jnp.where(kq[:n] < st1.q, r, 0.0)
+    u_stepped = st1.u - t * jnp.concatenate([r_ext, jnp.zeros((1,), dtype)])
+    u_stepped = u_stepped.at[jnp.clip(st1.q, 0, n)].add(t)
+
+    primal = ~infeasible & ~dual_step
+    x_new = jnp.where(primal, st1.x + t * z, st1.x)
+    f_new = jnp.where(primal, st1.f + t * nz * (0.5 * t + uq), st1.f)
+    st2 = dataclasses.replace(st1, x=x_new, f=f_new, u=u_stepped)
+
+    added = _apply_add(st2, nplus, z, r, st2.sc_idx, st2.sc_status, dtype)
+    removed = _apply_remove(pb, st2, l, u_stepped)
+
+    nxt = _tree_where(full_step, added, removed)
+    out = dataclasses.replace(
+        nxt, it=state.it + 1, skip1=~full_step & ~infeasible
+    )
+    stopped = dataclasses.replace(
+        state,
+        term=jnp.where(success, SUCCESS, INFEASIBLE).astype(jnp.int32),
+        sc_idx=sc_idx, sc_status=sc_st,
+    )
+    out = _tree_where(success | infeasible, stopped, out)
+    return _tree_where(state.term == RUNNING, out, state)
+
+
+def _init_fast(pb: QPProblem, opt: SolverOptions) -> FastState:
+    """Cold init: H = G^-1, x = -G^-1 a, then equality/fixed auto-activation
+    by replaying adds (ref: init_ / initActiveSet semantics)."""
+    n, m = pb.n, pb.m
+    dtype = pb.G.dtype
+    L = jnp.linalg.cholesky(pb.G)
+    posdef = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+    Lsafe = jnp.where(posdef, L, jnp.eye(n, dtype=dtype))
+    Linv = jax.lax.linalg.triangular_solve(
+        Lsafe, jnp.eye(n, dtype=dtype), left_side=True, lower=True
+    )
+    H = Linv.T @ Linv  # G^-1
+    x = -(H @ pb.a)
+    f = 0.5 * jnp.dot(pb.a, x)
+    state = FastState(
+        x=x, f=f, H=H, Ns=jnp.zeros((n, n), dtype),
+        status=jnp.zeros((m + n,), jnp.int32),
+        aorder=jnp.full((n,), -1, jnp.int32),
+        u=jnp.zeros((n + 1,), dtype),
+        q=jnp.zeros((), jnp.int32),
+        it=jnp.zeros((), jnp.int32),
+        term=jnp.where(posdef, RUNNING, NON_POS_HESSIAN).astype(jnp.int32),
+        skip1=jnp.zeros((), bool),
+        sc_idx=jnp.full((), -1, jnp.int32),
+        sc_status=jnp.zeros((), jnp.int32),
+    )
+
+    eqmask = jnp.concatenate([pb.l == pb.u, pb.xl == pb.xu])
+    mt = m + n
+    arange_mt = jnp.arange(mt)
+    perm = jnp.argsort(jnp.where(eqmask, arange_mt, mt + arange_mt)).astype(jnp.int32)
+    neq = jnp.sum(eqmask).astype(jnp.int32)
+    over = neq > n
+    stats = jnp.where(arange_mt < m, EQUALITY, FIXED).astype(jnp.int32)
+
+    def cond(carry):
+        kk, st = carry
+        return (kk < neq) & (st.term == RUNNING)
+
+    def body(carry):
+        kk, st = carry
+        idx = perm[kk]
+        stc = stats[idx]
+        nplus = _constraint_normal(pb, idx, stc)
+        z = st.H @ nplus
+        r = st.Ns @ nplus
+        b = _selected_bound(pb, idx, stc)
+        nz = jnp.dot(nplus, z)
+        nz_safe = jnp.where(nz != 0, nz, 1.0)
+        t = jnp.where(jnp.dot(z, z) > 0, (b - jnp.dot(nplus, st.x)) / nz_safe, 0.0)
+        x2 = st.x + t * z
+        f2 = st.f + t * nz * 0.5 * t
+        kq = jnp.arange(n + 1)
+        u2 = st.u - t * jnp.concatenate(
+            [jnp.where(kq[:n] < st.q, r, 0.0), jnp.zeros((1,), dtype)]
+        )
+        u2 = u2.at[jnp.clip(st.q, 0, n)].add(t)
+        st = dataclasses.replace(st, x=x2, f=f2, u=u2)
+        return kk + 1, _apply_add(st, nplus, z, r, idx, stc, dtype)
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state))
+    term = jnp.where(over & (state.term == RUNNING), OVERCONSTRAINED_PROBLEM,
+                     state.term)
+    return dataclasses.replace(state, term=term.astype(jnp.int32))
+
+
+def _expand_multipliers(state: FastState, m: int) -> jax.Array:
+    n = state.aorder.shape[0]
+    k = jnp.arange(n)
+    valid = k < state.q
+    idxs = jnp.where(valid, state.aorder, 0)
+    stat_k = state.status[jnp.clip(idxs, 0, m + n - 1)]
+    sign = jnp.where((stat_k == UPPER) | (stat_k == UPPER_BOUND), 1.0, -1.0)
+    vals = jnp.where(valid, sign * state.u[:n], 0.0)
+    return jnp.zeros((m + n,), state.u.dtype).at[idxs].add(vals)
+
+
+def _run_fast(pb: QPProblem, opt: SolverOptions) -> FastState:
+    state = _init_fast(pb, opt)
+    max_iter = jnp.asarray(opt.max_iter, jnp.int32)
+
+    def cond(st):
+        return (st.term == RUNNING) & (st.it < max_iter)
+
+    state = jax.lax.while_loop(cond, lambda st: fast_iteration(pb, st, opt), state)
+    term = jnp.where(state.term == RUNNING, MAX_ITER_REACHED, state.term)
+    return dataclasses.replace(state, term=term.astype(jnp.int32))
+
+
+def _finalize(pb: QPProblem, state: FastState) -> GIResult:
+    return GIResult(
+        x=state.x,
+        multipliers=_expand_multipliers(state, pb.m),
+        f=state.f,
+        iterations=state.it,
+        status=state.term,
+        active_set=state.status,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def solve_fast(pb: QPProblem, opt: SolverOptions = SolverOptions()) -> GIResult:
+    """Explicit-form GI solve in the problem's dtype. Same semantics as
+    :func:`jrlqp_tpu.solve` (differential-tested against it); much faster on
+    TPU, slightly less robust numerically at equal precision."""
+    return _finalize(pb, _run_fast(pb, opt))
+
+
+# ---------------------------------------------------------------------------
+# mixed-precision iterative refinement
+# ---------------------------------------------------------------------------
+
+def _signed_active(pb64, state, m, n):
+    """N columns (n x n, signed normals of actives, zero beyond q) and the
+    signed bounds b (n,) in float64."""
+    k = jnp.arange(n)
+    valid = k < state.q
+    idxs = jnp.where(valid, state.aorder, 0)
+    sts = state.status[jnp.clip(idxs, 0, m + n - 1)]
+
+    def one(idx, stc, v):
+        col = _constraint_normal(pb64, idx, stc) * v
+        b = _selected_bound(pb64, idx, stc)
+        sgn = jnp.where((stc == UPPER) | (stc == UPPER_BOUND), -1.0, 1.0)
+        return col, sgn * b * v
+
+    cols, b = jax.vmap(one)(idxs, sts, valid.astype(pb64.G.dtype))
+    return cols.T, b
+
+
+def _refine(pb: QPProblem, st: FastState, ir_steps: int) -> GIResult:
+    """Mixed-precision iterative refinement of a finished f32 state
+    (see module docstring)."""
+    n, m = pb.n, pb.m
+    pb32 = pb.with_dtype(jnp.float32)
+    pb64 = pb.with_dtype(jnp.float64)
+    N, b = _signed_active(pb64, st, m, n)
+    H32, Ns32 = st.H, st.Ns
+    k = jnp.arange(n)
+    G64 = pb64.G
+    a64 = pb64.a
+
+    x = st.x.astype(jnp.float64)
+    lam = jnp.where(k < st.q, st.u[:n], 0.0).astype(jnp.float64)
+
+    def ir_body(_, xl):
+        x, lam = xl
+        # float64 residuals of the fixed-active-set KKT system
+        # (internal convention: G x + a = N lam, N^T x = b)
+        r1 = N @ lam - (G64 @ x + a64)
+        r2 = b - N.T @ x
+        r2 = jnp.where(k < st.q, r2, 0.0)
+        # f32 correction solves with the existing operators:
+        # dx = H r1 + N*^T r2,  dlam = N*(G N*^T r2 - r1)
+        r1_32 = r1.astype(jnp.float32)
+        r2_32 = r2.astype(jnp.float32)
+        dx = H32 @ r1_32 + Ns32.T @ r2_32
+        dlam = Ns32 @ (pb32.G @ (Ns32.T @ r2_32) - r1_32)
+        x = x + dx.astype(jnp.float64)
+        lam = jnp.where(k < st.q, lam + dlam.astype(jnp.float64), 0.0)
+        return x, lam
+
+    x, lam = jax.lax.fori_loop(0, ir_steps, ir_body, (x, lam))
+
+    # lam is against signed normals (internal, >= 0); expand to external
+    idxs = jnp.where(k < st.q, st.aorder, 0)
+    stat_k = st.status[jnp.clip(idxs, 0, m + n - 1)]
+    sign = jnp.where((stat_k == UPPER) | (stat_k == UPPER_BOUND), 1.0, -1.0)
+    vals = jnp.where(k < st.q, sign * lam, 0.0)
+    multipliers = jnp.zeros((m + n,), jnp.float64).at[idxs].add(vals)
+    f = 0.5 * x @ (G64 @ x) + a64 @ x
+    return GIResult(
+        x=x,
+        multipliers=multipliers,
+        f=f,
+        iterations=st.it,
+        status=st.term,
+        active_set=st.status,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "ir_steps"))
+def solve_refined(
+    pb: QPProblem, opt: SolverOptions = SolverOptions(), ir_steps: int = 3
+) -> GIResult:
+    """f32 explicit-form GI + mixed-precision iterative refinement.
+
+    The float32 loop identifies the active set and produces H/N*; `ir_steps`
+    rounds of refinement compute KKT residuals in float64 and corrections
+    with the f32 operators (see module docstring), yielding <=1e-8 KKT
+    residuals at f32 loop cost. No reference counterpart -- this is the
+    TPU-native accuracy strategy (f64 is software-emulated on TPU).
+    """
+    pb32 = pb.with_dtype(jnp.float32)
+    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    st = _run_fast(pb32, opt32)
+    return _refine(pb, st, ir_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "ir_steps", "interpret"))
+def solve_refined_pallas(
+    pbs: QPProblem,
+    opt: SolverOptions = SolverOptions(),
+    ir_steps: int = 3,
+    interpret: bool = False,
+) -> GIResult:
+    """Batched f32 GI via the Pallas whole-solve kernel + IR finalization.
+
+    ``pbs`` is a stacked QPProblem (leading batch dim). The active-set loop
+    runs as ONE kernel launch with all state in VMEM
+    (:mod:`jrlqp_tpu.ops.pallas.gi_kernel`); init (batched Cholesky) and the
+    f64-residual refinement remain XLA ops. Semantics match
+    ``vmap(solve_refined)``.
+    """
+    from ..ops.pallas.gi_kernel import run_loop_pallas
+
+    B, n = pbs.a.shape
+    m = pbs.C.shape[1]
+    pb32 = pbs.with_dtype(jnp.float32)
+    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
+    out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret)
+
+    zeros_b = jnp.zeros((B,), jnp.float32)
+    st = FastState(
+        x=out["x"],
+        f=zeros_b,
+        H=out["H"],
+        Ns=out["Ns"],
+        status=out["status"],
+        aorder=out["aorder"],
+        u=jnp.concatenate([out["u"], jnp.zeros((B, 1), jnp.float32)], axis=1),
+        q=out["q"],
+        it=out["it"],
+        term=out["term"],
+        skip1=jnp.zeros((B,), bool),
+        sc_idx=jnp.full((B,), -1, jnp.int32),
+        sc_status=jnp.zeros((B,), jnp.int32),
+    )
+    return jax.vmap(lambda p, s: _refine(p, s, ir_steps))(pbs, st)

@@ -1,4 +1,6 @@
-"""Utilities: iteration tracing / observability (Logger analog)."""
+"""Utilities: iteration tracing / observability (Logger analog) and the
+no-retrace guard (allocation-sanitizer analog)."""
+from .compile_guard import no_retrace
 from .logger import IterationTrace, LogFlags, dump_matlab, solve_traced
 
-__all__ = ["IterationTrace", "LogFlags", "dump_matlab", "solve_traced"]
+__all__ = ["IterationTrace", "LogFlags", "dump_matlab", "solve_traced", "no_retrace"]

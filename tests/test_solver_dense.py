@@ -120,25 +120,29 @@ def test_random_problems_ground_truth(seed):
 def test_multiple_uses_no_retrace():
     """ref: 'Multiple uses' (GoldfarbIdnaniSolverTest.cpp:101-125). The
     malloc-free requirement maps to: one compilation serves many problems of
-    the same padded shape (no retrace)."""
+    the same padded shape (no retrace), asserted with the allocation-
+    sanitizer analog `utils.no_retrace`."""
+    from jrlqp_tpu.utils import no_retrace
+
     rng = np.random.default_rng(42)
     f = jax.jit(solve, static_argnames=("opt",))
     opt = SolverOptions()
     n_pad, m_pad = 5, 10
-    cache_after_first = None
-    for i, characs in enumerate(_characteristic_sets()):
+    sets = _characteristic_sets()
+
+    def run_one(characs):
         rpb = random_problem(characs, rng)
         pb = pad_problem(_qp_from_random(rpb), n_pad, m_pad)
         res = f(pb, opt)
-        if cache_after_first is None:
-            cache_after_first = f._cache_size()
         assert int(res.status) == int(TerminationStatus.SUCCESS)
         assert bool(check_kkt(res.x, res.multipliers, pb))
         # solution of the padded problem restricted to real vars matches
         np.testing.assert_allclose(np.asarray(res.x[:5]), rpb.x, rtol=1e-6, atol=1e-6)
-    assert f._cache_size() == cache_after_first, (
-        "padded solves must share one compilation (no retrace)"
-    )
+
+    run_one(sets[0])  # warm up: the single compilation
+    with no_retrace(f):
+        for characs in sets[1:]:
+            run_one(characs)
 
 
 def test_batched_solve_vmap():
