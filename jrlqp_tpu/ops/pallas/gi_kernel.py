@@ -63,6 +63,11 @@ def _kernel(
     *, n, m, np_, mp_, mtp_, max_iter,
 ):
     f32 = jnp.float32
+    # Mosaic cannot convert 64-bit scalars; under jax_enable_x64 every bare
+    # Python int in a traced op becomes a weak int64 scalar, so pin all
+    # integer scalar constants to int32.
+    i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+    one, zero_i, neg1 = i32(1), i32(0), i32(-1)
     G = G_ref[0]        # (np_, np_)
     C = C_ref[0]        # (mp_, np_)
     lo = l_ref[0]       # (1, mp_)
@@ -74,12 +79,12 @@ def _kernel(
     iot_m = jax.lax.broadcasted_iota(jnp.int32, (1, mp_), 1)
     iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
     row_n = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
-    real_n = iot_n < n
-    real_m = iot_m < m
+    real_n = iot_n < i32(n)
+    real_m = iot_m < i32(m)
 
     def gather_row(M, idx):
         mask = jax.lax.broadcasted_iota(jnp.int32, M.shape, 0) == idx
-        return jnp.sum(jnp.where(mask, M, 0.0), axis=0, keepdims=True)
+        return jnp.sum(jnp.where(mask, M, f32(0.0)), axis=0, keepdims=True)
 
     def matvec(A, v):
         """(r, c) @ (1, c) -> (1, r) via MXU."""
@@ -92,32 +97,36 @@ def _kernel(
         cx = matvec(C, x)  # (1, mp_)
         sl = cx - lo
         su = up - cx
-        act_c = status[:, :mp_] != 0
-        cand_c = jnp.where(act_c | ~real_m, BIG, jnp.minimum(sl, su))
-        st_c = jnp.where(sl <= su, LOWER, UPPER)
+        act_c = status[:, :mp_] != zero_i
+        cand_c = jnp.where(act_c | ~real_m, f32(BIG), jnp.minimum(sl, su))
+        st_c = jnp.where(sl <= su, jnp.int32(LOWER), jnp.int32(UPPER))
         slb = x - xlo
         sub = xup - x
-        act_b = status[:, mp_:] != 0
-        cand_b = jnp.where(act_b | ~real_n, BIG, jnp.minimum(slb, sub))
-        st_b = jnp.where(slb <= sub, LOWER_BOUND, UPPER_BOUND)
+        act_b = status[:, mp_:] != zero_i
+        cand_b = jnp.where(act_b | ~real_n, f32(BIG), jnp.minimum(slb, sub))
+        st_b = jnp.where(slb <= sub, jnp.int32(LOWER_BOUND),
+                         jnp.int32(UPPER_BOUND))
         cand = jnp.concatenate([cand_c, cand_b], axis=1)  # (1, mtp_)
         sts = jnp.concatenate([st_c, st_b], axis=1)
         p = jax.lax.argmin(cand[0, :], 0, jnp.int32)
         viol = jnp.min(cand[0, :])
-        sel_st = jnp.sum(jnp.where(iot_mt == p, sts, 0)).astype(jnp.int32)
+        # int reductions are unsupported in Mosaic: sum tiny ints in f32
+        sel_st = jnp.sum(
+            jnp.where(iot_mt == p, sts.astype(f32), f32(0.0))
+        ).astype(jnp.int32)
 
         do_select = jnp.logical_not(skip1)
-        success = do_select & (viol >= 0)
+        success = do_select & (viol >= f32(0.0))
         sc_idx = jnp.where(do_select, p, sc_idx)
         sc_st = jnp.where(do_select, sel_st, sc_st)
-        uvec = jnp.where(do_select & (iot_n == q), 0.0, uvec)
+        uvec = jnp.where(do_select & (iot_n == q), f32(0.0), uvec)
 
         # ---- signed constraint normal ----
-        sign = jnp.where((sc_st == UPPER) | (sc_st == UPPER_BOUND),
+        sign = jnp.where((sc_st == i32(UPPER)) | (sc_st == i32(UPPER_BOUND)),
                          f32(-1), f32(1))
-        is_bnd = sc_st >= LOWER_BOUND
-        crow = gather_row(C, jnp.clip(sc_idx, 0, mp_ - 1))  # (1, np_)
-        e = (iot_n == (sc_idx - mp_)).astype(f32)
+        is_bnd = sc_st >= i32(LOWER_BOUND)
+        crow = gather_row(C, jnp.clip(sc_idx, zero_i, i32(mp_ - 1)))  # (1, np_)
+        e = (iot_n == (sc_idx - i32(mp_))).astype(f32)
         nplus = sign * jnp.where(is_bnd, e, crow)
 
         # ---- direction z = H n+, dual direction r = N* n+ ----
@@ -125,38 +134,40 @@ def _kernel(
         r = matvec(Ns, nplus)
 
         # ---- step lengths ----
-        ao_clip = jnp.clip(aorder, 0, mtp_ - 1)  # (1, np_)
+        ao_clip = jnp.clip(aorder, zero_i, i32(mtp_ - 1))  # (1, np_)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (np_, mtp_), 1)
                   == ao_clip.reshape(np_, 1)).astype(f32)
         stat_k = matvec(onehot, status.astype(f32))  # (1, np_)
         eligible = (
             (iot_n < q) & (stat_k != EQUALITY) & (stat_k != FIXED) & (r > 0)
         )
-        r_safe = jnp.where(eligible, r, 1.0)
-        tks = jnp.where(eligible, uvec / r_safe, BIG)
+        r_safe = jnp.where(eligible, r, f32(1.0))
+        tks = jnp.where(eligible, uvec / r_safe, f32(BIG))
         lpos = jax.lax.argmin(tks[0, :], 0, jnp.int32)
-        t1 = jnp.minimum(jnp.min(tks[0, :]), BIG)
+        t1 = jnp.minimum(jnp.min(tks[0, :]), f32(BIG))
 
         znorm2 = jnp.sum(z * z)
         nz = jnp.sum(nplus * z)
         nx = jnp.sum(nplus * x)
-        bidx = jnp.clip(sc_idx - mp_, 0, np_ - 1)
-        cidx = jnp.clip(sc_idx, 0, mp_ - 1)
+        bidx = jnp.clip(sc_idx - i32(mp_), zero_i, i32(np_ - 1))
+        cidx = jnp.clip(sc_idx, zero_i, i32(mp_ - 1))
         b_gen = jnp.sum(jnp.where(iot_m == cidx,
-                                  jnp.where(sc_st == UPPER, up, lo), 0.0))
+                                  jnp.where(sc_st == i32(UPPER), up, lo),
+                                  f32(0.0)))
         b_bnd = jnp.sum(jnp.where(iot_n == bidx,
-                                  jnp.where(sc_st == UPPER_BOUND, xup, xlo), 0.0))
+                                  jnp.where(sc_st == i32(UPPER_BOUND), xup, xlo),
+                                  f32(0.0)))
         b = jnp.where(is_bnd, b_bnd, b_gen)
-        nz_safe = jnp.where(nz != 0, nz, 1.0)
-        t2 = jnp.where(znorm2 > f32(1e-12), (sign * b - nx) / nz_safe, BIG)
+        nz_safe = jnp.where(nz != f32(0.0), nz, f32(1.0))
+        t2 = jnp.where(znorm2 > f32(1e-12), (sign * b - nx) / nz_safe, f32(BIG))
         t = jnp.minimum(t1, t2)
 
-        infeasible = t >= BIG
-        dual_step = (t2 >= BIG) & ~infeasible
+        infeasible = t >= f32(BIG)
+        dual_step = (t2 >= f32(BIG)) & ~infeasible
         full_step = ~infeasible & ~dual_step & (t2 <= t1)
 
-        uq = jnp.sum(jnp.where(iot_n == q, uvec, 0.0))
-        r_head = jnp.where(iot_n < q, r, 0.0)
+        uq = jnp.sum(jnp.where(iot_n == q, uvec, f32(0.0)))
+        r_head = jnp.where(iot_n < q, r, f32(0.0))
         u_stepped = uvec - t * r_head
         u_stepped = jnp.where(iot_n == q, u_stepped + t, u_stepped)
 
@@ -166,42 +177,44 @@ def _kernel(
 
         # ---- add update: H -= z z^T/d, N* rows -= r z^T/d, new row z^T/d --
         nn = jnp.sum(nplus * nplus)
-        dependent = nz <= f32(1e-5) * (1.0 + nn)
-        dsafe = jnp.where(dependent, 1.0, nz)
+        dependent = nz <= f32(1e-5) * (f32(1.0) + nn)
+        dsafe = jnp.where(dependent, f32(1.0), nz)
         zn = z / dsafe
         H_add = H - jnp.dot(z.reshape(np_, 1), zn, preferred_element_type=f32)
-        rmask = jnp.where(iot_n < q, r, 0.0)
+        rmask = jnp.where(iot_n < q, r, f32(0.0))
         Ns_add = Ns - jnp.dot(rmask.reshape(np_, 1), zn,
                               preferred_element_type=f32)
         Ns_add = jnp.where(row_n == q, zn, Ns_add)
         status_add = jnp.where(iot_mt == sc_idx, sc_st, status)
         aorder_add = jnp.where(iot_n == q, sc_idx, aorder)
-        term_add = jnp.where(dependent, LINEAR_DEPENDENCY_DETECTED, term)
+        term_add = jnp.where(dependent, i32(LINEAR_DEPENDENCY_DETECTED), term)
 
         # ---- remove update (rank-one downdate + row shift) ----
-        nl = gather_row(Ns, jnp.clip(lpos, 0, np_ - 1))
+        nl = gather_row(Ns, jnp.clip(lpos, zero_i, i32(np_ - 1)))
         v = matvec(G, nl)  # (1, np_): G n_l*^T
         w = matvec(Ns, v)
-        wl = jnp.sum(jnp.where(iot_n == lpos, w, 0.0))
-        wl_safe = jnp.where(jnp.abs(wl) > 0, wl, 1.0)
+        wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)))
+        wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
         H_rem = H + jnp.dot(nl.reshape(np_, 1), nl / wl_safe,
                             preferred_element_type=f32)
-        wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, 0.0)
+        wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, f32(0.0))
         Ns_rem = Ns - jnp.dot((wmask / wl_safe).reshape(np_, 1), nl,
                               preferred_element_type=f32)
-        rolled = pltpu.roll(Ns_rem, np_ - 1, axis=0)  # left-roll by 1
-        Ns_rem = jnp.where((row_n >= lpos) & (row_n < q - 1), rolled, Ns_rem)
-        Ns_rem = jnp.where(row_n >= q - 1, 0.0, Ns_rem)
-        rem_idx = jnp.sum(jnp.where(iot_n == lpos, ao_clip, 0)).astype(jnp.int32)
-        status_rem = jnp.where(iot_mt == rem_idx, 0, status)
-        ao_roll = pltpu.roll(aorder, np_ - 1, axis=1)
-        aorder_rem = jnp.where((iot_n >= lpos) & (iot_n < q - 1), ao_roll, aorder)
-        aorder_rem = jnp.where(iot_n >= q - 1, -1, aorder_rem)
+        rolled = pltpu.roll(Ns_rem, i32(np_ - 1), axis=0)  # left-roll by 1
+        Ns_rem = jnp.where((row_n >= lpos) & (row_n < q - one), rolled, Ns_rem)
+        Ns_rem = jnp.where(row_n >= q - one, f32(0.0), Ns_rem)
+        rem_idx = jnp.sum(
+            jnp.where(iot_n == lpos, ao_clip.astype(f32), f32(0.0))
+        ).astype(jnp.int32)
+        status_rem = jnp.where(iot_mt == rem_idx, zero_i, status)
+        ao_roll = pltpu.roll(aorder, i32(np_ - 1), axis=1)
+        aorder_rem = jnp.where((iot_n >= lpos) & (iot_n < q - one), ao_roll, aorder)
+        aorder_rem = jnp.where(iot_n >= q - one, neg1, aorder_rem)
         # u has the candidate at slot q: shift range goes up to q (candidate
         # lands at slot q-1 = the new candidate slot), then clear >= q
-        u_roll = pltpu.roll(u_stepped, np_ - 1, axis=1)
+        u_roll = pltpu.roll(u_stepped, i32(np_ - 1), axis=1)
         u_rem = jnp.where((iot_n >= lpos) & (iot_n < q), u_roll, u_stepped)
-        u_rem = jnp.where(iot_n >= q, 0.0, u_rem)
+        u_rem = jnp.where(iot_n >= q, f32(0.0), u_rem)
 
         # ---- select outcome ----
         stop = success | infeasible
@@ -216,11 +229,11 @@ def _kernel(
                              jnp.where(adv, status_rem, status))
         aorder_n = jnp.where(add_sel, aorder_add,
                              jnp.where(adv, aorder_rem, aorder))
-        q_n = jnp.where(add_sel, q + 1, jnp.where(adv, q - 1, q))
-        it_n = jnp.where(adv, it + 1, it)
+        q_n = jnp.where(add_sel, q + one, jnp.where(adv, q - one, q))
+        it_n = jnp.where(adv, it + one, it)
         term_n = jnp.where(
             stop,
-            jnp.where(success, SUCCESS, INFEASIBLE),
+            jnp.where(success, jnp.int32(SUCCESS), jnp.int32(INFEASIBLE)),
             jnp.where(add_sel, term_add, term),
         ).astype(jnp.int32)
         skip1_n = jnp.where(adv, ~full_step, skip1)
@@ -231,17 +244,18 @@ def _kernel(
     def cond(carry):
         it = carry[7]
         term = carry[8]
-        return (term == RUNNING) & (it < max_iter)
+        return (term == i32(RUNNING)) & (it < i32(max_iter))
 
     scal0 = scal0_ref[0]  # (1, 8) int32
     init = (
         x0_ref[0], H0_ref[0], Ns0_ref[0], u0_ref[0], st0_ref[0], ao0_ref[0],
-        scal0[0, 0], scal0[0, 1], scal0[0, 2], scal0[0, 3] != 0,
+        scal0[0, 0], scal0[0, 1], scal0[0, 2], scal0[0, 3] != zero_i,
         scal0[0, 4], scal0[0, 5],
     )
     out = jax.lax.while_loop(cond, body, init)
     (x, H, Ns, uvec, status, aorder, q, it, term, skip1, sc_idx, sc_st) = out
-    term = jnp.where(term == RUNNING, MAX_ITER_REACHED, term).astype(jnp.int32)
+    term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
+                     term).astype(jnp.int32)
 
     x_out[0] = x
     u_out[0] = uvec
@@ -321,8 +335,13 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     )
 
     def spec(*shape):
-        return pl.BlockSpec((1,) + shape, lambda i: (i,) + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+        # index_map must return int32: bare 0s trace as int64 under x64,
+        # which Mosaic cannot return from the index-map function
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda i, _k=len(shape): (i,) + (jnp.zeros((), jnp.int32),) * _k,
+            memory_space=pltpu.VMEM,
+        )
 
     x, uvec, status, aorder, scal, H, Ns = pl.pallas_call(
         kern,
