@@ -8,11 +8,12 @@ i.e. 12,500 solves/sec/chip. This script measures solves/sec on however many
 chips are visible (normally 1) and reports vs_baseline against the per-chip
 target.
 
-Solver selection (BENCH_SOLVER): "refined" (default) = float32
-explicit-form GI loop (rank-one inverse-operator updates, pure batched
-matmuls) + mixed-precision iterative refinement with float64 residuals --
-the TPU-native design (f64 is software-emulated on TPU, so the hot loop is
-f32 on the MXU and f64 appears only in a few residual gemvs); "mixed" =
+Solver selection (BENCH_SOLVER): "pallas" (default) = the whole-solve
+Pallas kernel (f32 explicit-form GI loop, one grid program per problem,
+all state in VMEM) + batched mixed-precision iterative refinement with
+float64 residuals -- the TPU-native design (f64 is software-emulated on
+TPU, so the hot loop is f32 on the MXU and f64 appears only in one stacked
+residual gemv); "refined" = the same math as XLA-composed ops; "mixed" =
 f32 J/R loop + f64 warm-start refactorization; "f64" = full float64 J/R
 loop (reference-faithful); "f32" = f32 J/R loop only.
 
@@ -40,7 +41,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from jrlqp_tpu import SolverOptions
 from jrlqp_tpu.solver.dense import _solve_impl
-from jrlqp_tpu.solver.fast import solve_refined
+from jrlqp_tpu.solver.fast import solve_refined, solve_refined_pallas
 from jrlqp_tpu.solver.mixed import solve_mixed
 from jrlqp_tpu.testing.batch_gen import random_qp_batch
 from jrlqp_tpu.testing.kkt import kkt_residual
@@ -48,16 +49,18 @@ from jrlqp_tpu.testing.kkt import kkt_residual
 PER_CHIP_TARGET = 1e5 / 8  # v5p-16 north star, per chip
 
 N, M = 50, 100
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
-SOLVER = os.environ.get("BENCH_SOLVER", "refined")
+SOLVER = os.environ.get("BENCH_SOLVER", "pallas")
 
 
 def main():
     n_dev = len(jax.devices())
     opt = SolverOptions(max_iter=150)
 
-    if SOLVER == "refined":
+    if SOLVER == "pallas":
+        run = jax.jit(lambda p: solve_refined_pallas(p, opt))
+    elif SOLVER == "refined":
         run = jax.jit(jax.vmap(lambda p: solve_refined(p, opt)))
     elif SOLVER == "mixed":
         run = jax.jit(jax.vmap(lambda p: solve_mixed(p, opt)))

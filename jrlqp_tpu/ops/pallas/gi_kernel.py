@@ -11,14 +11,31 @@ on TPU (SURVEY.md section 7 / M3).
 Layout decisions (see the Pallas TPU guide):
 - one problem per grid program; matrices padded to multiples of 8 (f32
   sublane); vectors stored as (1, X) rows;
+- H and N* are stacked into ONE operator K (2*np_, np_): the per-iteration
+  directions z = H n+ and r = N* n+ are a single MXU matvec, and both
+  rank-one updates (add and remove) are a single stacked outer product --
+  the MXU processes 128 sublanes per pass, so (2*np_, np_) costs the same
+  pass count as (np_, np_) for np_ <= 64;
+- `lax.cond` keeps only one of {stop, add-update, remove-update} on the
+  executed path per iteration (one problem per program -- no divergence
+  penalty), and skips the violated-constraint scan on iterations that
+  follow a removal (the reference's skipStep1, DualSolver.cpp:103-111);
 - all index updates (status flips, activation order, condensed multipliers)
   are broadcasted-iota masked ``where``s -- no scatters;
-- dynamic row reads (C[idx], Ns[l]) are masked-reduction gathers;
+- dynamic row reads (C[idx], N*[l]) are masked-reduction gathers;
+- the per-slot activation status (equality/fixed exclusion in the dual step
+  bound) is carried incrementally instead of re-gathered via a one-hot
+  matmul every iteration;
 - bound/constraint index spaces are remapped so padded general-constraint
   slots sit between the real constraints and the bounds;
 - the Cholesky-based init (H0 = G^-1, x0 = -G^-1 a, equality
   auto-activation) runs OUTSIDE the kernel as one-time batched XLA ops
   (:func:`jrlqp_tpu.solver.fast._init_fast`); the kernel runs the loop.
+
+Under jax_enable_x64 every bare Python int/float in a traced op becomes a
+weak 64-bit scalar, which Mosaic cannot lower (unsupported i64 converts /
+tpu.truncf); all scalar constants below are pinned to int32/float32 and
+integer reductions are routed through f32.
 
 Reproduces :func:`jrlqp_tpu.solver.fast.fast_iteration` (differential-tested
 in interpret mode on CPU and against the XLA path on TPU).
@@ -58,14 +75,11 @@ def _round_up(x, m):
 
 def _kernel(
     G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref,
-    H0_ref, Ns0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, scal0_ref,
-    x_out, u_out, st_out, ao_out, scal_out, H_out, Ns_out,
+    K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref,
+    x_out, u_out, st_out, ao_out, scal_out, K_out,
     *, n, m, np_, mp_, mtp_, max_iter,
 ):
     f32 = jnp.float32
-    # Mosaic cannot convert 64-bit scalars; under jax_enable_x64 every bare
-    # Python int in a traced op becomes a weak int64 scalar, so pin all
-    # integer scalar constants to int32.
     i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
     one, zero_i, neg1 = i32(1), i32(0), i32(-1)
     G = G_ref[0]        # (np_, np_)
@@ -78,7 +92,7 @@ def _kernel(
     iot_n = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
     iot_m = jax.lax.broadcasted_iota(jnp.int32, (1, mp_), 1)
     iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
-    row_n = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    row_2n = jax.lax.broadcasted_iota(jnp.int32, (2 * np_, np_), 0)
     real_n = iot_n < i32(n)
     real_m = iot_m < i32(m)
 
@@ -91,169 +105,199 @@ def _kernel(
         return jnp.dot(A, v.reshape(-1, 1), preferred_element_type=f32).reshape(1, -1)
 
     def body(carry):
-        (x, H, Ns, uvec, status, aorder, q, it, term, skip1, sc_idx, sc_st) = carry
+        (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
+         sc_idx, sc_st) = carry
 
-        # ---- step 1: most-violated selection ----
-        cx = matvec(C, x)  # (1, mp_)
-        sl = cx - lo
-        su = up - cx
-        act_c = status[:, :mp_] != zero_i
-        cand_c = jnp.where(act_c | ~real_m, f32(BIG), jnp.minimum(sl, su))
-        st_c = jnp.where(sl <= su, jnp.int32(LOWER), jnp.int32(UPPER))
-        slb = x - xlo
-        sub = xup - x
-        act_b = status[:, mp_:] != zero_i
-        cand_b = jnp.where(act_b | ~real_n, f32(BIG), jnp.minimum(slb, sub))
-        st_b = jnp.where(slb <= sub, jnp.int32(LOWER_BOUND),
-                         jnp.int32(UPPER_BOUND))
-        cand = jnp.concatenate([cand_c, cand_b], axis=1)  # (1, mtp_)
-        sts = jnp.concatenate([st_c, st_b], axis=1)
-        p = jax.lax.argmin(cand[0, :], 0, jnp.int32)
-        viol = jnp.min(cand[0, :])
-        # int reductions are unsupported in Mosaic: sum tiny ints in f32
-        sel_st = jnp.sum(
-            jnp.where(iot_mt == p, sts.astype(f32), f32(0.0))
-        ).astype(jnp.int32)
+        # ---- step 1: most-violated selection (skipped after a removal,
+        # ref DualSolver.cpp:103-111) ----
+        def do_selection(x, status, uvec):
+            cx = matvec(C, x)  # (1, mp_)
+            sl = cx - lo
+            su = up - cx
+            act_c = status[:, :mp_] != zero_i
+            cand_c = jnp.where(act_c | ~real_m, f32(BIG), jnp.minimum(sl, su))
+            st_c = jnp.where(sl <= su, jnp.int32(LOWER), jnp.int32(UPPER))
+            slb = x - xlo
+            sub = xup - x
+            act_b = status[:, mp_:] != zero_i
+            cand_b = jnp.where(act_b | ~real_n, f32(BIG),
+                               jnp.minimum(slb, sub))
+            st_b = jnp.where(slb <= sub, jnp.int32(LOWER_BOUND),
+                             jnp.int32(UPPER_BOUND))
+            cand = jnp.concatenate([cand_c, cand_b], axis=1)  # (1, mtp_)
+            sts = jnp.concatenate([st_c, st_b], axis=1)
+            p = jax.lax.argmin(cand[0, :], 0, jnp.int32)
+            viol = jnp.min(cand[0, :])
+            # int reductions are unsupported in Mosaic: sum tiny ints in f32
+            sel_st = jnp.sum(
+                jnp.where(iot_mt == p, sts.astype(f32), f32(0.0))
+            ).astype(jnp.int32)
+            # signed constraint normal of the selected candidate
+            sign = jnp.where(
+                (sel_st == i32(UPPER)) | (sel_st == i32(UPPER_BOUND)),
+                f32(-1), f32(1))
+            is_bnd = sel_st >= i32(LOWER_BOUND)
+            crow = gather_row(C, jnp.clip(p, zero_i, i32(mp_ - 1)))
+            e = (iot_n == (p - i32(mp_))).astype(f32)
+            npl = sign * jnp.where(is_bnd, e, crow)
+            u2 = jnp.where(iot_n == q, f32(0.0), uvec)
+            succ = jnp.where(viol >= f32(0.0), one, zero_i)
+            return p, sel_st, npl, u2, succ
 
-        do_select = jnp.logical_not(skip1)
-        success = do_select & (viol >= f32(0.0))
-        sc_idx = jnp.where(do_select, p, sc_idx)
-        sc_st = jnp.where(do_select, sel_st, sc_st)
-        uvec = jnp.where(do_select & (iot_n == q), f32(0.0), uvec)
+        def keep_selection(x, status, uvec):
+            return sc_idx, sc_st, nplus, uvec, zero_i
 
-        # ---- signed constraint normal ----
-        sign = jnp.where((sc_st == i32(UPPER)) | (sc_st == i32(UPPER_BOUND)),
-                         f32(-1), f32(1))
-        is_bnd = sc_st >= i32(LOWER_BOUND)
-        crow = gather_row(C, jnp.clip(sc_idx, zero_i, i32(mp_ - 1)))  # (1, np_)
-        e = (iot_n == (sc_idx - i32(mp_))).astype(f32)
-        nplus = sign * jnp.where(is_bnd, e, crow)
+        sc_idx_n, sc_st_n, nplus_n, uvec_n, success = jax.lax.cond(
+            skip1 != zero_i, keep_selection, do_selection, x, status, uvec)
 
-        # ---- direction z = H n+, dual direction r = N* n+ ----
-        z = matvec(H, nplus)
-        r = matvec(Ns, nplus)
+        def stop_success(x, K, uvec, status, aorder, statk):
+            return (x, K, uvec, status, aorder, statk, nplus_n, q, it,
+                    i32(SUCCESS), skip1, sc_idx_n, sc_st_n)
 
-        # ---- step lengths ----
-        ao_clip = jnp.clip(aorder, zero_i, i32(mtp_ - 1))  # (1, np_)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (np_, mtp_), 1)
-                  == ao_clip.reshape(np_, 1)).astype(f32)
-        stat_k = matvec(onehot, status.astype(f32))  # (1, np_)
-        eligible = (
-            (iot_n < q) & (stat_k != EQUALITY) & (stat_k != FIXED) & (r > 0)
-        )
-        r_safe = jnp.where(eligible, r, f32(1.0))
-        tks = jnp.where(eligible, uvec / r_safe, f32(BIG))
-        lpos = jax.lax.argmin(tks[0, :], 0, jnp.int32)
-        t1 = jnp.minimum(jnp.min(tks[0, :]), f32(BIG))
+        def proceed(x, K, uvec, status, aorder, statk):
+            sign = jnp.where(
+                (sc_st_n == i32(UPPER)) | (sc_st_n == i32(UPPER_BOUND)),
+                f32(-1), f32(1))
+            is_bnd = sc_st_n >= i32(LOWER_BOUND)
 
-        znorm2 = jnp.sum(z * z)
-        nz = jnp.sum(nplus * z)
-        nx = jnp.sum(nplus * x)
-        bidx = jnp.clip(sc_idx - i32(mp_), zero_i, i32(np_ - 1))
-        cidx = jnp.clip(sc_idx, zero_i, i32(mp_ - 1))
-        b_gen = jnp.sum(jnp.where(iot_m == cidx,
-                                  jnp.where(sc_st == i32(UPPER), up, lo),
-                                  f32(0.0)))
-        b_bnd = jnp.sum(jnp.where(iot_n == bidx,
-                                  jnp.where(sc_st == i32(UPPER_BOUND), xup, xlo),
-                                  f32(0.0)))
-        b = jnp.where(is_bnd, b_bnd, b_gen)
-        nz_safe = jnp.where(nz != f32(0.0), nz, f32(1.0))
-        t2 = jnp.where(znorm2 > f32(1e-12), (sign * b - nx) / nz_safe, f32(BIG))
-        t = jnp.minimum(t1, t2)
+            # ---- z = H n+, r = N* n+: ONE stacked matvec ----
+            zr = matvec(K, nplus_n)  # (1, 2np_)
+            z = zr[:, :np_]
+            r = zr[:, np_:]
 
-        infeasible = t >= f32(BIG)
-        dual_step = (t2 >= f32(BIG)) & ~infeasible
-        full_step = ~infeasible & ~dual_step & (t2 <= t1)
+            # ---- step lengths ----
+            eligible = (
+                (iot_n < q) & (statk != f32(EQUALITY))
+                & (statk != f32(FIXED)) & (r > f32(0.0))
+            )
+            r_safe = jnp.where(eligible, r, f32(1.0))
+            tks = jnp.where(eligible, uvec / r_safe, f32(BIG))
+            lpos = jax.lax.argmin(tks[0, :], 0, jnp.int32)
+            t1 = jnp.minimum(jnp.min(tks[0, :]), f32(BIG))
 
-        uq = jnp.sum(jnp.where(iot_n == q, uvec, f32(0.0)))
-        r_head = jnp.where(iot_n < q, r, f32(0.0))
-        u_stepped = uvec - t * r_head
-        u_stepped = jnp.where(iot_n == q, u_stepped + t, u_stepped)
+            znorm2 = jnp.sum(z * z)
+            nz = jnp.sum(nplus_n * z)
+            nx = jnp.sum(nplus_n * x)
+            bidx = jnp.clip(sc_idx_n - i32(mp_), zero_i, i32(np_ - 1))
+            cidx = jnp.clip(sc_idx_n, zero_i, i32(mp_ - 1))
+            b_gen = jnp.sum(jnp.where(
+                iot_m == cidx,
+                jnp.where(sc_st_n == i32(UPPER), up, lo), f32(0.0)))
+            b_bnd = jnp.sum(jnp.where(
+                iot_n == bidx,
+                jnp.where(sc_st_n == i32(UPPER_BOUND), xup, xlo), f32(0.0)))
+            b = jnp.where(is_bnd, b_bnd, b_gen)
+            nz_safe = jnp.where(nz != f32(0.0), nz, f32(1.0))
+            t2 = jnp.where(znorm2 > f32(1e-12),
+                           (sign * b - nx) / nz_safe, f32(BIG))
+            t = jnp.minimum(t1, t2)
 
-        primal = ~infeasible & ~dual_step
-        x_new = jnp.where(primal, x + t * z, x)
-        # objective update omitted in-kernel; recomputed at finalize
+            infeasible = t >= f32(BIG)
+            dual_step = (t2 >= f32(BIG)) & ~infeasible
+            full_step = ~infeasible & ~dual_step & (t2 <= t1)
 
-        # ---- add update: H -= z z^T/d, N* rows -= r z^T/d, new row z^T/d --
-        nn = jnp.sum(nplus * nplus)
-        dependent = nz <= f32(1e-5) * (f32(1.0) + nn)
-        dsafe = jnp.where(dependent, f32(1.0), nz)
-        zn = z / dsafe
-        H_add = H - jnp.dot(z.reshape(np_, 1), zn, preferred_element_type=f32)
-        rmask = jnp.where(iot_n < q, r, f32(0.0))
-        Ns_add = Ns - jnp.dot(rmask.reshape(np_, 1), zn,
-                              preferred_element_type=f32)
-        Ns_add = jnp.where(row_n == q, zn, Ns_add)
-        status_add = jnp.where(iot_mt == sc_idx, sc_st, status)
-        aorder_add = jnp.where(iot_n == q, sc_idx, aorder)
-        term_add = jnp.where(dependent, i32(LINEAR_DEPENDENCY_DETECTED), term)
+            def stop_infeasible(_ignored):
+                return (x, K, uvec, status, aorder, statk, nplus_n, q, it,
+                        i32(INFEASIBLE), skip1, sc_idx_n, sc_st_n)
 
-        # ---- remove update (rank-one downdate + row shift) ----
-        nl = gather_row(Ns, jnp.clip(lpos, zero_i, i32(np_ - 1)))
-        v = matvec(G, nl)  # (1, np_): G n_l*^T
-        w = matvec(Ns, v)
-        wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)))
-        wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
-        H_rem = H + jnp.dot(nl.reshape(np_, 1), nl / wl_safe,
-                            preferred_element_type=f32)
-        wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, f32(0.0))
-        Ns_rem = Ns - jnp.dot((wmask / wl_safe).reshape(np_, 1), nl,
-                              preferred_element_type=f32)
-        rolled = pltpu.roll(Ns_rem, i32(np_ - 1), axis=0)  # left-roll by 1
-        Ns_rem = jnp.where((row_n >= lpos) & (row_n < q - one), rolled, Ns_rem)
-        Ns_rem = jnp.where(row_n >= q - one, f32(0.0), Ns_rem)
-        rem_idx = jnp.sum(
-            jnp.where(iot_n == lpos, ao_clip.astype(f32), f32(0.0))
-        ).astype(jnp.int32)
-        status_rem = jnp.where(iot_mt == rem_idx, zero_i, status)
-        ao_roll = pltpu.roll(aorder, i32(np_ - 1), axis=1)
-        aorder_rem = jnp.where((iot_n >= lpos) & (iot_n < q - one), ao_roll, aorder)
-        aorder_rem = jnp.where(iot_n >= q - one, neg1, aorder_rem)
-        # u has the candidate at slot q: shift range goes up to q (candidate
-        # lands at slot q-1 = the new candidate slot), then clear >= q
-        u_roll = pltpu.roll(u_stepped, i32(np_ - 1), axis=1)
-        u_rem = jnp.where((iot_n >= lpos) & (iot_n < q), u_roll, u_stepped)
-        u_rem = jnp.where(iot_n >= q, f32(0.0), u_rem)
+            def step(full_step):
+                r_head = jnp.where(iot_n < q, r, f32(0.0))
+                u_stepped = uvec - t * r_head
+                u_stepped = jnp.where(iot_n == q, u_stepped + t, u_stepped)
+                primal = ~dual_step
+                x_new = jnp.where(primal, x + t * z, x)
+                # objective recomputed at finalize time
 
-        # ---- select outcome ----
-        stop = success | infeasible
-        adv = ~stop
-        add_sel = adv & full_step
+                def add_update(_ignored):
+                    # H -= z z^T/d; N* rows -= r z^T/d; new N* row = z^T/d
+                    # == K -= [z; r_head] zn^T, then set row np_+q
+                    nn = jnp.sum(nplus_n * nplus_n)
+                    dependent = nz <= f32(1e-5) * (f32(1.0) + nn)
+                    dsafe = jnp.where(dependent, f32(1.0), nz)
+                    zn = z / dsafe
+                    stack = jnp.concatenate([z, r_head], axis=1)  # (1, 2np_)
+                    K_add = K - jnp.dot(stack.reshape(2 * np_, 1), zn,
+                                        preferred_element_type=f32)
+                    K_add = jnp.where(row_2n == i32(np_) + q, zn, K_add)
+                    status_add = jnp.where(iot_mt == sc_idx_n, sc_st_n,
+                                           status)
+                    aorder_add = jnp.where(iot_n == q, sc_idx_n, aorder)
+                    statk_add = jnp.where(iot_n == q, sc_st_n.astype(f32),
+                                          statk)
+                    term_add = jnp.where(dependent,
+                                         i32(LINEAR_DEPENDENCY_DETECTED),
+                                         term)
+                    return (x_new, K_add, u_stepped, status_add, aorder_add,
+                            statk_add, nplus_n, q + one, it + one, term_add,
+                            zero_i, sc_idx_n, sc_st_n)
 
-        H_n = jnp.where(add_sel, H_add, jnp.where(adv, H_rem, H))
-        Ns_n = jnp.where(add_sel, Ns_add, jnp.where(adv, Ns_rem, Ns))
-        x_n = jnp.where(adv, x_new, x)
-        u_n = jnp.where(add_sel, u_stepped, jnp.where(adv, u_rem, uvec))
-        status_n = jnp.where(add_sel, status_add,
-                             jnp.where(adv, status_rem, status))
-        aorder_n = jnp.where(add_sel, aorder_add,
-                             jnp.where(adv, aorder_rem, aorder))
-        q_n = jnp.where(add_sel, q + one, jnp.where(adv, q - one, q))
-        it_n = jnp.where(adv, it + one, it)
-        term_n = jnp.where(
-            stop,
-            jnp.where(success, jnp.int32(SUCCESS), jnp.int32(INFEASIBLE)),
-            jnp.where(add_sel, term_add, term),
-        ).astype(jnp.int32)
-        skip1_n = jnp.where(adv, ~full_step, skip1)
-        del uq  # objective tracking is done at finalize time
-        return (x_n, H_n, Ns_n, u_n, status_n, aorder_n, q_n, it_n,
-                term_n, skip1_n, sc_idx, sc_st)
+                def remove_update(_ignored):
+                    # H += n_l* n_l*^T / w_l; N* -= (w/w_l) n_l*; drop row l
+                    nl = gather_row(
+                        K, i32(np_) + jnp.clip(lpos, zero_i, i32(np_ - 1)))
+                    v = matvec(G, nl)          # (1, np_)
+                    w_full = matvec(K, v)      # (1, 2np_); tail = N* v
+                    w = w_full[:, np_:]
+                    wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)))
+                    wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
+                    wmask = jnp.where((iot_n < q) & (iot_n != lpos), w,
+                                      f32(0.0))
+                    stack = jnp.concatenate([-nl, wmask], axis=1) / wl_safe
+                    K_rem = K - jnp.dot(stack.reshape(2 * np_, 1), nl,
+                                        preferred_element_type=f32)
+                    # delete N* row l: shift rows l+1..q-1 up, zero >= q-1
+                    rolled = pltpu.roll(K_rem, i32(2 * np_ - 1), axis=0)
+                    lrow = i32(np_) + lpos
+                    qrow = i32(np_) + q
+                    K_rem = jnp.where((row_2n >= lrow) & (row_2n < qrow - one),
+                                      rolled, K_rem)
+                    K_rem = jnp.where(row_2n >= qrow - one, f32(0.0), K_rem)
+                    rem_idx = jnp.sum(jnp.where(
+                        iot_n == lpos,
+                        jnp.clip(aorder, zero_i,
+                                 i32(mtp_ - 1)).astype(f32),
+                        f32(0.0))).astype(jnp.int32)
+                    status_rem = jnp.where(iot_mt == rem_idx, zero_i, status)
+                    shift = (iot_n >= lpos) & (iot_n < q - one)
+                    ao_roll = pltpu.roll(aorder, i32(np_ - 1), axis=1)
+                    aorder_rem = jnp.where(shift, ao_roll, aorder)
+                    aorder_rem = jnp.where(iot_n >= q - one, neg1, aorder_rem)
+                    sk_roll = pltpu.roll(statk, i32(np_ - 1), axis=1)
+                    statk_rem = jnp.where(shift, sk_roll, statk)
+                    statk_rem = jnp.where(iot_n >= q - one, f32(0.0),
+                                          statk_rem)
+                    # u has the candidate at slot q: shift up to q, clear >= q
+                    u_roll = pltpu.roll(u_stepped, i32(np_ - 1), axis=1)
+                    u_rem = jnp.where((iot_n >= lpos) & (iot_n < q), u_roll,
+                                      u_stepped)
+                    u_rem = jnp.where(iot_n >= q, f32(0.0), u_rem)
+                    return (x_new, K_rem, u_rem, status_rem, aorder_rem,
+                            statk_rem, nplus_n, q - one, it + one, term,
+                            one, sc_idx_n, sc_st_n)
+
+                return jax.lax.cond(full_step, add_update, remove_update,
+                                    zero_i)
+
+            return jax.lax.cond(infeasible, stop_infeasible, step, full_step)
+
+        return jax.lax.cond(success != zero_i, stop_success, proceed,
+                            x, K, uvec, status, aorder, statk)
 
     def cond(carry):
-        it = carry[7]
-        term = carry[8]
+        it = carry[8]
+        term = carry[9]
         return (term == i32(RUNNING)) & (it < i32(max_iter))
 
     scal0 = scal0_ref[0]  # (1, 8) int32
     init = (
-        x0_ref[0], H0_ref[0], Ns0_ref[0], u0_ref[0], st0_ref[0], ao0_ref[0],
-        scal0[0, 0], scal0[0, 1], scal0[0, 2], scal0[0, 3] != zero_i,
+        x0_ref[0], K0_ref[0], u0_ref[0], st0_ref[0], ao0_ref[0],
+        sk0_ref[0], jnp.zeros((1, np_), f32),
+        scal0[0, 0], scal0[0, 1], scal0[0, 2], scal0[0, 3],
         scal0[0, 4], scal0[0, 5],
     )
     out = jax.lax.while_loop(cond, body, init)
-    (x, H, Ns, uvec, status, aorder, q, it, term, skip1, sc_idx, sc_st) = out
+    (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
+     sc_idx, sc_st) = out
     term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
                      term).astype(jnp.int32)
 
@@ -261,13 +305,12 @@ def _kernel(
     u_out[0] = uvec
     st_out[0] = status
     ao_out[0] = aorder
-    H_out[0] = H
-    Ns_out[0] = Ns
+    K_out[0] = K
     zero = jnp.zeros((1, 1), jnp.int32)
     scal_out[0] = jnp.concatenate(
         [
             q.reshape(1, 1), it.reshape(1, 1), term.reshape(1, 1),
-            skip1.astype(jnp.int32).reshape(1, 1),
+            skip1.reshape(1, 1),
             sc_idx.reshape(1, 1), sc_st.reshape(1, 1), zero, zero,
         ],
         axis=1,
@@ -280,7 +323,7 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
 
     ``pb32``: stacked QPProblem (leading batch dim, float32). ``state0``: the
     batched FastState from vmapped ``_init_fast``. Returns a dict of final
-    batched state pieces (x, u, status, aorder, q, it, term) in the
+    batched state pieces (x, u, status, aorder, q, it, term, H, Ns) in the
     library's (m+n) index layout.
     """
     B, n = pb32.a.shape
@@ -307,8 +350,8 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     u = padrow(pb32.u, mp_, fill=BIG * 10)
     xl = padrow(pb32.xl, np_, fill=-BIG * 10)
     xu = padrow(pb32.xu, np_, fill=BIG * 10)
-    H0 = pad2(state0.H, np_, np_)
-    Ns0 = pad2(state0.Ns, np_, np_)
+    K0 = jnp.concatenate([pad2(state0.H, np_, np_),
+                          pad2(state0.Ns, np_, np_)], axis=1)
     x0 = padrow(state0.x, np_)
     u0 = padrow(state0.u[:, : n + 1], np_)
     st_c = state0.status[:, :m]
@@ -319,6 +362,16 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     ao_remap = jnp.where(ao >= m, ao - m + mp_, ao)
     ao_remap = jnp.where(ao < 0, -1, ao_remap)
     ao0 = jnp.full((B, 1, np_), -1, jnp.int32).at[:, 0, :n].set(ao_remap)
+    # per-slot activation status (f32) of the initially-active constraints
+    k = jnp.arange(n)
+    valid0 = k[None, :] < state0.q[:, None]
+    statk_n = jnp.where(
+        valid0,
+        jnp.take_along_axis(
+            state0.status, jnp.clip(ao, 0, m + n - 1), axis=1),
+        0,
+    ).astype(f32)
+    sk0 = jnp.zeros((B, 1, np_), f32).at[:, 0, :n].set(statk_n)
     sc_idx0 = jnp.where(state0.sc_idx >= m, state0.sc_idx - m + mp_,
                         state0.sc_idx)
     scal0 = jnp.stack(
@@ -343,18 +396,18 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
             memory_space=pltpu.VMEM,
         )
 
-    x, uvec, status, aorder, scal, H, Ns = pl.pallas_call(
+    x, uvec, status, aorder, scal, K = pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
             spec(np_, np_), spec(mp_, np_), spec(1, mp_), spec(1, mp_),
-            spec(1, np_), spec(1, np_), spec(np_, np_), spec(np_, np_),
+            spec(1, np_), spec(1, np_), spec(2 * np_, np_),
             spec(1, np_), spec(1, np_), spec(1, mtp_), spec(1, np_),
-            spec(1, 8),
+            spec(1, np_), spec(1, 8),
         ],
         out_specs=[
             spec(1, np_), spec(1, np_), spec(1, mtp_), spec(1, np_),
-            spec(1, 8), spec(np_, np_), spec(np_, np_),
+            spec(1, 8), spec(2 * np_, np_),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, np_), f32),
@@ -362,11 +415,10 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
             jax.ShapeDtypeStruct((B, 1, mtp_), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, np_), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
-            jax.ShapeDtypeStruct((B, np_, np_), f32),
-            jax.ShapeDtypeStruct((B, np_, np_), f32),
+            jax.ShapeDtypeStruct((B, 2 * np_, np_), f32),
         ],
         interpret=interpret,
-    )(G, C, l, u, xl, xu, H0, Ns0, x0, u0, st0, ao0, scal0)
+    )(G, C, l, u, xl, xu, K0, x0, u0, st0, ao0, sk0, scal0)
 
     status_full = jnp.concatenate(
         [status[:, 0, :m], status[:, 0, mp_:mp_ + n]], axis=1
@@ -382,6 +434,6 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         q=scal[:, 0, 0],
         it=scal[:, 0, 1],
         term=scal[:, 0, 2],
-        H=H[:, :n, :n],
-        Ns=Ns[:, :n, :n],
+        H=K[:, :n, :n],
+        Ns=K[:, np_:np_ + n, :n],
     )

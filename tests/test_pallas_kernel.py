@@ -1,0 +1,63 @@
+"""Differential tests: Pallas whole-solve GI kernel vs the XLA fast path.
+
+Runs the kernel in interpret mode (CPU) on batches that exercise adds,
+removals, equalities, fixed variables, and bounds, and checks the final
+state matches ``vmap(solve_refined)`` (same math, different engine).
+Mirrors the reference's structured-vs-dense differential strategy
+(ref: tests/BlockGISolverTest.in.cpp:70-170).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jrlqp_tpu import SolverOptions
+from jrlqp_tpu.solver.fast import solve_refined, solve_refined_pallas
+from jrlqp_tpu.testing.batch_gen import random_qp_batch
+from jrlqp_tpu.testing.kkt import kkt_residual
+
+
+@pytest.mark.parametrize("n,m,batch", [(8, 12, 6), (13, 7, 4)])
+def test_pallas_matches_xla(n, m, batch):
+    opt = SolverOptions(max_iter=60)
+    pbs = random_qp_batch(jax.random.key(0), batch, n, m, act_frac=0.4)
+    res_p = solve_refined_pallas(pbs, opt, interpret=True)
+    res_x = jax.vmap(lambda p: solve_refined(p, opt))(pbs)
+    np.testing.assert_array_equal(np.asarray(res_p.status),
+                                  np.asarray(res_x.status))
+    np.testing.assert_array_equal(np.asarray(res_p.iterations),
+                                  np.asarray(res_x.iterations))
+    # both engines refine to <=1e-8 KKT; accumulation order differs
+    np.testing.assert_allclose(np.asarray(res_p.x), np.asarray(res_x.x),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_p.multipliers),
+                               np.asarray(res_x.multipliers), atol=1e-6)
+
+
+def test_pallas_with_equalities_and_fixed():
+    # equalities (l == u) and fixed variables (xl == xu) exercise the
+    # pre-activated initial state handed to the kernel
+    opt = SolverOptions(max_iter=60)
+    pbs = random_qp_batch(jax.random.key(3), 4, 9, 6, act_frac=0.3)
+    l = pbs.l.at[:, 0].set(pbs.u[:, 0])          # constraint 0 equality
+    xl = pbs.xl.at[:, 2].set(0.37)
+    xu = pbs.xu.at[:, 2].set(0.37)               # variable 2 fixed
+    import dataclasses
+    pbs = dataclasses.replace(pbs, l=l, xl=xl, xu=xu)
+    res_p = solve_refined_pallas(pbs, opt, interpret=True)
+    res_x = jax.vmap(lambda p: solve_refined(p, opt))(pbs)
+    np.testing.assert_array_equal(np.asarray(res_p.status),
+                                  np.asarray(res_x.status))
+    np.testing.assert_allclose(np.asarray(res_p.x), np.asarray(res_x.x),
+                               atol=1e-7)
+    # fixed variable honored
+    np.testing.assert_allclose(np.asarray(res_p.x[:, 2]), 0.37, atol=1e-6)
+
+
+def test_pallas_kkt_quality():
+    opt = SolverOptions(max_iter=80)
+    pbs = random_qp_batch(jax.random.key(7), 8, 10, 16, act_frac=0.4)
+    res = solve_refined_pallas(pbs, opt, interpret=True)
+    resid = jax.vmap(kkt_residual)(res.x, res.multipliers, pbs)
+    ok = np.asarray((resid <= 1e-8) & (res.status == 0))
+    assert ok.all(), np.asarray(resid)
