@@ -49,7 +49,7 @@ from jrlqp_tpu.testing.kkt import kkt_residual
 PER_CHIP_TARGET = 1e5 / 8  # v5p-16 north star, per chip
 
 N, M = 50, 100
-BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 SOLVER = os.environ.get("BENCH_SOLVER", "pallas")
 

@@ -317,15 +317,272 @@ def _kernel(
     )
 
 
+
+def _kernel_packed(
+    G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref,
+    K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref,
+    x_out, u_out, st_out, ao_out, scal_out, K_out,
+    *, n, m, np_, mp_, mtp_, max_iter, P,
+):
+    """P problems per grid program, fully vectorized masked iteration.
+
+    The single-problem kernel is latency-bound: each small MXU matvec/outer
+    costs ~300-650ns of pipeline latency. Packing P independent problems per
+    program turns them into batched dot_generals (independent MXU passes
+    that pipeline back-to-back: measured ~4x per-problem speedup at P=8) and
+    amortizes every VPU bookkeeping op over P sublane rows. The price is
+    masked straight-line code (no per-problem lax.cond: stopped problems
+    freeze via selects, both add and remove updates are computed every
+    iteration) and running each pack until its slowest member finishes.
+    """
+    f32 = jnp.float32
+    i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+    one, zero_i, neg1 = i32(1), i32(0), i32(-1)
+    G = G_ref[0]    # (P, np_, np_)
+    C = C_ref[0]    # (P, mp_, np_)
+    lo = l_ref[0]   # (P, mp_)
+    up = u_ref[0]
+    xlo = xl_ref[0]  # (P, np_)
+    xup = xu_ref[0]
+
+    iot_n = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+    iot_m = jax.lax.broadcasted_iota(jnp.int32, (1, mp_), 1)
+    iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
+    iotf_mt = iot_mt.astype(f32)
+    iotf_n = iot_n.astype(f32)
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, 1), 1)
+    rowC = jax.lax.broadcasted_iota(jnp.int32, (1, mp_, 1), 1)
+    real_n = iot_n < i32(n)
+    real_m = iot_m < i32(m)
+
+    def bmv(A, v):
+        """(P, R, C) @ (P, C) -> (P, R), batched on the MXU."""
+        return jax.lax.dot_general(A, v, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+
+    def bouter(u_, v):
+        """(P, R) x (P, C) -> (P, R, C) batched outer product."""
+        return jax.lax.dot_general(u_[:, :, None], v[:, None, :],
+                                   (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+
+    def rowmin(vals, iotf):
+        """Per-row (min, argmin) via the f32 index-min trick (integer
+        reductions are unsupported in Mosaic; indices < 2^24 are exact)."""
+        mn = jnp.min(vals, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(vals == mn, iotf, f32(BIG)),
+                      axis=1, keepdims=True).astype(jnp.int32)
+        return mn, idx
+
+    def body(carry):
+        (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
+         sc_idx, sc_st) = carry
+        active = (term == i32(RUNNING)) & (it < i32(max_iter))  # (P, 1)
+
+        # ---- step 1: most-violated selection (masked by skip1) ----
+        cx = bmv(C, x)                                          # (P, mp_)
+        sl = cx - lo
+        su = up - cx
+        act_c = status[:, :mp_] != zero_i
+        cand_c = jnp.where(act_c | ~real_m, f32(BIG), jnp.minimum(sl, su))
+        st_c = jnp.where(sl <= su, jnp.int32(LOWER), jnp.int32(UPPER))
+        slb = x - xlo
+        sub = xup - x
+        act_b = status[:, mp_:] != zero_i
+        cand_b = jnp.where(act_b | ~real_n, f32(BIG), jnp.minimum(slb, sub))
+        st_b = jnp.where(slb <= sub, jnp.int32(LOWER_BOUND),
+                         jnp.int32(UPPER_BOUND))
+        cand = jnp.concatenate([cand_c, cand_b], axis=1)        # (P, mtp_)
+        sts = jnp.concatenate([st_c, st_b], axis=1)
+        viol, p = rowmin(cand, iotf_mt)
+        sel_st = jnp.sum(jnp.where(iot_mt == p, sts.astype(f32), f32(0.0)),
+                         axis=1, keepdims=True).astype(jnp.int32)
+        do_select = skip1 == zero_i
+        success = do_select & (viol >= f32(0.0))
+        sc_idx_n = jnp.where(do_select, p, sc_idx)
+        sc_st_n = jnp.where(do_select, sel_st, sc_st)
+        sign = jnp.where(
+            (sc_st_n == i32(UPPER)) | (sc_st_n == i32(UPPER_BOUND)),
+            f32(-1), f32(1))
+        is_bnd = sc_st_n >= i32(LOWER_BOUND)
+        cmask = rowC == jnp.clip(sc_idx_n, zero_i, i32(mp_ - 1))[:, :, None]
+        crow = jnp.sum(jnp.where(cmask, C, f32(0.0)), axis=1)   # (P, np_)
+        e = (iot_n == (sc_idx_n - i32(mp_))).astype(f32)
+        nplus_n = jnp.where(do_select, sign * jnp.where(is_bnd, e, crow),
+                            nplus)
+
+        # ---- directions: one batched stacked matvec ----
+        zr = bmv(K, nplus_n)                                    # (P, 2np_)
+        z = zr[:, :np_]
+        r = zr[:, np_:]
+
+        # ---- step lengths ----
+        eligible = ((iot_n < q) & (statk != f32(EQUALITY))
+                    & (statk != f32(FIXED)) & (r > f32(0.0)))
+        r_safe = jnp.where(eligible, r, f32(1.0))
+        tks = jnp.where(eligible, uvec / r_safe, f32(BIG))
+        t1_raw, lpos = rowmin(tks, iotf_n)
+        t1 = jnp.minimum(t1_raw, f32(BIG))
+
+        znorm2 = jnp.sum(z * z, axis=1, keepdims=True)
+        nz = jnp.sum(nplus_n * z, axis=1, keepdims=True)
+        nx = jnp.sum(nplus_n * x, axis=1, keepdims=True)
+        cidx = jnp.clip(sc_idx_n, zero_i, i32(mp_ - 1))
+        bidx = jnp.clip(sc_idx_n - i32(mp_), zero_i, i32(np_ - 1))
+        b_gen = jnp.sum(jnp.where(iot_m == cidx,
+                                  jnp.where(sc_st_n == i32(UPPER), up, lo),
+                                  f32(0.0)), axis=1, keepdims=True)
+        b_bnd = jnp.sum(jnp.where(
+            iot_n == bidx,
+            jnp.where(sc_st_n == i32(UPPER_BOUND), xup, xlo),
+            f32(0.0)), axis=1, keepdims=True)
+        b = jnp.where(is_bnd, b_bnd, b_gen)
+        nz_safe = jnp.where(nz != f32(0.0), nz, f32(1.0))
+        t2 = jnp.where(znorm2 > f32(1e-12), (sign * b - nx) / nz_safe,
+                       f32(BIG))
+        t = jnp.minimum(t1, t2)
+
+        infeasible = (t >= f32(BIG)) & ~success
+        dual_step = (t2 >= f32(BIG)) & ~infeasible
+        full_step = ~infeasible & ~dual_step & (t2 <= t1)
+        # contain inf on stopping lanes (their results are discarded)
+        t_safe = jnp.where(infeasible | success, f32(0.0), t)
+
+        r_head = jnp.where(iot_n < q, r, f32(0.0))
+        u_stepped = uvec - t_safe * r_head
+        u_stepped = jnp.where(iot_n == q, u_stepped + t_safe, u_stepped)
+        x_new = jnp.where(~dual_step, x + t_safe * z, x)
+
+        # ---- add update ----
+        nn = jnp.sum(nplus_n * nplus_n, axis=1, keepdims=True)
+        dependent = nz <= f32(1e-5) * (f32(1.0) + nn)
+        dsafe = jnp.where(dependent, f32(1.0), nz)
+        zn = z / dsafe
+        K_add = K - bouter(jnp.concatenate([z, r_head], axis=1), zn)
+        K_add = jnp.where(row3 == (i32(np_) + q)[:, :, None],
+                          zn[:, None, :], K_add)
+        status_add = jnp.where(iot_mt == sc_idx_n, sc_st_n, status)
+        aorder_add = jnp.where(iot_n == q, sc_idx_n, aorder)
+        statk_add = jnp.where(iot_n == q, sc_st_n.astype(f32), statk)
+        term_add = jnp.where(dependent, i32(LINEAR_DEPENDENCY_DETECTED),
+                             term)
+
+        # ---- remove update ----
+        lmask3 = row3 == (i32(np_) + lpos)[:, :, None]
+        nl = jnp.sum(jnp.where(lmask3, K, f32(0.0)), axis=1)    # (P, np_)
+        v = bmv(G, nl)
+        w = bmv(K, v)[:, np_:]
+        wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)), axis=1,
+                     keepdims=True)
+        wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
+        wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, f32(0.0))
+        K_rem = K - bouter(jnp.concatenate([-nl, wmask], axis=1) / wl_safe,
+                           nl)
+        rolled = pltpu.roll(K_rem, i32(2 * np_ - 1), axis=1)
+        lrow = (i32(np_) + lpos)[:, :, None]
+        qrow = (i32(np_) + q)[:, :, None]
+        K_rem = jnp.where((row3 >= lrow) & (row3 < qrow - one), rolled,
+                          K_rem)
+        K_rem = jnp.where(row3 >= qrow - one, f32(0.0), K_rem)
+        rem_idx = jnp.sum(jnp.where(
+            iot_n == lpos,
+            jnp.clip(aorder, zero_i, i32(mtp_ - 1)).astype(f32), f32(0.0)),
+            axis=1, keepdims=True).astype(jnp.int32)
+        status_rem = jnp.where(iot_mt == rem_idx, zero_i, status)
+        shift = (iot_n >= lpos) & (iot_n < q - one)
+        aorder_rem = jnp.where(shift, pltpu.roll(aorder, i32(np_ - 1),
+                                                 axis=1), aorder)
+        aorder_rem = jnp.where(iot_n >= q - one, neg1, aorder_rem)
+        statk_rem = jnp.where(shift, pltpu.roll(statk, i32(np_ - 1),
+                                                axis=1), statk)
+        statk_rem = jnp.where(iot_n >= q - one, f32(0.0), statk_rem)
+        u_roll = pltpu.roll(u_stepped, i32(np_ - 1), axis=1)
+        u_rem = jnp.where((iot_n >= lpos) & (iot_n < q), u_roll, u_stepped)
+        u_rem = jnp.where(iot_n >= q, f32(0.0), u_rem)
+
+        # ---- combine per problem (masked select, no divergence) ----
+        stop = success | infeasible
+        adv = active & ~stop
+        add_sel = adv & full_step
+        rem_sel = adv & ~full_step
+
+        def sel3(a, b, c):
+            return jnp.where(add_sel[:, :, None], a,
+                             jnp.where(rem_sel[:, :, None], b, c))
+
+        def sel2(a, b, c):
+            return jnp.where(add_sel, a, jnp.where(rem_sel, b, c))
+
+        K_n = sel3(K_add, K_rem, K)
+        x_n = jnp.where(adv, x_new, x)
+        u_n = sel2(u_stepped, u_rem, uvec)
+        status_n = sel2(status_add, status_rem, status)
+        aorder_n = sel2(aorder_add, aorder_rem, aorder)
+        statk_n = sel2(statk_add, statk_rem, statk)
+        nplus_keep = jnp.where(active, nplus_n, nplus)
+        q_n = jnp.where(add_sel, q + one, jnp.where(rem_sel, q - one, q))
+        it_n = jnp.where(adv, it + one, it)
+        term_n = jnp.where(
+            active & stop,
+            jnp.where(success, i32(SUCCESS), i32(INFEASIBLE)),
+            jnp.where(add_sel, term_add, term))
+        skip1_n = jnp.where(adv, jnp.where(full_step, zero_i, one), skip1)
+        sc_idx_keep = jnp.where(active, sc_idx_n, sc_idx)
+        sc_st_keep = jnp.where(active, sc_st_n, sc_st)
+        return (x_n, K_n, u_n, status_n, aorder_n, statk_n, nplus_keep,
+                q_n, it_n, term_n, skip1_n, sc_idx_keep, sc_st_keep)
+
+    def cond(carry):
+        it = carry[8]
+        term = carry[9]
+        running = (term == i32(RUNNING)) & (it < i32(max_iter))
+        return jnp.max(jnp.where(running, f32(1.0), f32(0.0))) > f32(0.0)
+
+    scal0 = scal0_ref[0]  # (P, 8) int32
+    init = (
+        x0_ref[0], K0_ref[0], u0_ref[0], st0_ref[0], ao0_ref[0],
+        sk0_ref[0], jnp.zeros((P, np_), f32),
+        scal0[:, 0:1], scal0[:, 1:2], scal0[:, 2:3], scal0[:, 3:4],
+        scal0[:, 4:5], scal0[:, 5:6],
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
+     sc_idx, sc_st) = out
+    term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
+                     term).astype(jnp.int32)
+
+    x_out[0] = x
+    u_out[0] = uvec
+    st_out[0] = status
+    ao_out[0] = aorder
+    K_out[0] = K
+    zero = jnp.zeros((P, 1), jnp.int32)
+    scal_out[0] = jnp.concatenate(
+        [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
+
+
 def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
-                    interpret: bool = False):
+                    interpret: bool = False, pack: int = 16):
     """Run the GI loop via the Pallas kernel for a batch of f32 problems.
 
     ``pb32``: stacked QPProblem (leading batch dim, float32). ``state0``: the
-    batched FastState from vmapped ``_init_fast``. Returns a dict of final
-    batched state pieces (x, u, status, aorder, q, it, term, H, Ns) in the
+    batched FastState from vmapped ``_init_fast``. ``pack``: problems per
+    grid program (1 = branchy single-problem kernel; >1 = vectorized masked
+    kernel, ~4x faster per problem at 8). Returns a dict of final batched
+    state pieces (x, u, status, aorder, q, it, term, H, Ns) in the
     library's (m+n) index layout.
     """
+    if pack > 1:
+        Borig = pb32.a.shape[0]
+        pad = (-Borig) % pack
+        if pad:
+            idx = jnp.arange(Borig + pad) % Borig  # wrap: works for B < pack
+
+            def _padb(a):
+                return jnp.take(a, idx, axis=0)
+
+            pb32 = jax.tree.map(_padb, pb32)
+            state0 = jax.tree.map(_padb, state0)
     B, n = pb32.a.shape
     m = pb32.C.shape[1]
     np_ = _round_up(n + 1, 8)
@@ -383,10 +640,6 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         axis=-1,
     )[:, None, :].astype(jnp.int32)
 
-    kern = functools.partial(
-        _kernel, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_, max_iter=max_iter
-    )
-
     def spec(*shape):
         # index_map must return int32: bare 0s trace as int64 under x64,
         # which Mosaic cannot return from the index-map function
@@ -396,29 +649,83 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
             memory_space=pltpu.VMEM,
         )
 
-    x, uvec, status, aorder, scal, K = pl.pallas_call(
-        kern,
-        grid=(B,),
-        in_specs=[
-            spec(np_, np_), spec(mp_, np_), spec(1, mp_), spec(1, mp_),
-            spec(1, np_), spec(1, np_), spec(2 * np_, np_),
-            spec(1, np_), spec(1, np_), spec(1, mtp_), spec(1, np_),
-            spec(1, np_), spec(1, 8),
-        ],
-        out_specs=[
-            spec(1, np_), spec(1, np_), spec(1, mtp_), spec(1, np_),
-            spec(1, 8), spec(2 * np_, np_),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1, np_), f32),
-            jax.ShapeDtypeStruct((B, 1, np_), f32),
-            jax.ShapeDtypeStruct((B, 1, mtp_), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, np_), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
-            jax.ShapeDtypeStruct((B, 2 * np_, np_), f32),
-        ],
-        interpret=interpret,
-    )(G, C, l, u, xl, xu, K0, x0, u0, st0, ao0, sk0, scal0)
+    if pack > 1:
+        P = pack
+        BP = B // P
+        kern = functools.partial(
+            _kernel_packed, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
+            max_iter=max_iter, P=P,
+        )
+
+        def fold_m(A):   # (B, r, c) -> (BP, P, r, c)
+            return A.reshape(BP, P, A.shape[1], A.shape[2])
+
+        def fold_r(A):   # (B, 1, c) -> (BP, P, c)
+            return A.reshape(BP, P, A.shape[2])
+
+        x, uvec, status, aorder, scal, K = pl.pallas_call(
+            kern,
+            grid=(BP,),
+            in_specs=[
+                spec(P, np_, np_), spec(P, mp_, np_), spec(P, mp_),
+                spec(P, mp_), spec(P, np_), spec(P, np_),
+                spec(P, 2 * np_, np_), spec(P, np_), spec(P, np_),
+                spec(P, mtp_), spec(P, np_), spec(P, np_), spec(P, 8),
+            ],
+            out_specs=[
+                spec(P, np_), spec(P, np_), spec(P, mtp_), spec(P, np_),
+                spec(P, 8), spec(P, 2 * np_, np_),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BP, P, np_), f32),
+                jax.ShapeDtypeStruct((BP, P, np_), f32),
+                jax.ShapeDtypeStruct((BP, P, mtp_), jnp.int32),
+                jax.ShapeDtypeStruct((BP, P, np_), jnp.int32),
+                jax.ShapeDtypeStruct((BP, P, 8), jnp.int32),
+                jax.ShapeDtypeStruct((BP, P, 2 * np_, np_), f32),
+            ],
+            interpret=interpret,
+        )(fold_m(G), fold_m(C), fold_r(l), fold_r(u), fold_r(xl),
+          fold_r(xu), fold_m(K0), fold_r(x0), fold_r(u0), fold_r(st0),
+          fold_r(ao0), fold_r(sk0), fold_r(scal0))
+        # unfold pack dim and drop batch padding
+        x = x.reshape(B, 1, np_)
+        uvec = uvec.reshape(B, 1, np_)
+        status = status.reshape(B, 1, mtp_)
+        aorder = aorder.reshape(B, 1, np_)
+        scal = scal.reshape(B, 1, 8)
+        K = K.reshape(B, 2 * np_, np_)
+        x, uvec, status, aorder, scal, K = (
+            x[:Borig], uvec[:Borig], status[:Borig], aorder[:Borig],
+            scal[:Borig], K[:Borig])
+    else:
+        kern = functools.partial(
+            _kernel, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
+            max_iter=max_iter
+        )
+        x, uvec, status, aorder, scal, K = pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[
+                spec(np_, np_), spec(mp_, np_), spec(1, mp_), spec(1, mp_),
+                spec(1, np_), spec(1, np_), spec(2 * np_, np_),
+                spec(1, np_), spec(1, np_), spec(1, mtp_), spec(1, np_),
+                spec(1, np_), spec(1, 8),
+            ],
+            out_specs=[
+                spec(1, np_), spec(1, np_), spec(1, mtp_), spec(1, np_),
+                spec(1, 8), spec(2 * np_, np_),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1, np_), f32),
+                jax.ShapeDtypeStruct((B, 1, np_), f32),
+                jax.ShapeDtypeStruct((B, 1, mtp_), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, np_), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+                jax.ShapeDtypeStruct((B, 2 * np_, np_), f32),
+            ],
+            interpret=interpret,
+        )(G, C, l, u, xl, xu, K0, x0, u0, st0, ao0, sk0, scal0)
 
     status_full = jnp.concatenate(
         [status[:, 0, :m], status[:, 0, mp_:mp_ + n]], axis=1

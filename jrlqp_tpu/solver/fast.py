@@ -523,12 +523,14 @@ def solve_refined(
     return _refine(pb, st, ir_steps)
 
 
-@functools.partial(jax.jit, static_argnames=("opt", "ir_steps", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("opt", "ir_steps", "interpret", "pack"))
 def solve_refined_pallas(
     pbs: QPProblem,
     opt: SolverOptions = SolverOptions(),
     ir_steps: int = 3,
     interpret: bool = False,
+    pack: int = 16,
 ) -> GIResult:
     """Batched f32 GI via the Pallas whole-solve kernel + IR finalization.
 
@@ -545,7 +547,8 @@ def solve_refined_pallas(
     pb32 = pbs.with_dtype(jnp.float32)
     opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
     state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
-    out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret)
+    out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
+                          pack=pack)
 
     zeros_b = jnp.zeros((B,), jnp.float32)
     st = FastState(
