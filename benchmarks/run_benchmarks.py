@@ -4,7 +4,7 @@ Analog of the reference's benchmark executables + CSV outputs
 (ref: benchmarks/Solvers.cpp, SolversWarmStart.cpp, Decomposition.cpp,
 generatePlot.py). Usage:
 
-    python benchmarks/run_benchmarks.py [--out out/] [--solver f64|mixed]
+    python benchmarks/run_benchmarks.py [--out out/] [--solver f64|mixed|refined|pallas]
                                         [--suite all|size|active|warm|decomp]
 """
 import argparse
@@ -30,7 +30,7 @@ from jrlqp_tpu.bench import (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/out")
-    ap.add_argument("--solver", default="f64", choices=["f64", "mixed"])
+    ap.add_argument("--solver", default="f64", choices=["f64", "mixed", "refined", "pallas"])
     ap.add_argument("--suite", default="all",
                     choices=["all", "size", "active", "warm", "decomp"])
     ap.add_argument("--batch", type=int, default=64)
@@ -55,7 +55,8 @@ def main():
         print(f"wrote {path}")
 
     if args.suite in ("all", "warm"):
-        r = bench_warm_start_trajectory(batch=min(args.batch, 32))
+        r = bench_warm_start_trajectory(batch=min(args.batch, 32),
+                                        solver=args.solver if args.solver in ("f64", "pallas") else "f64")
         print(json.dumps(r))
         with open(os.path.join(args.out, "warm_start.json"), "w") as fh:
             json.dump(r, fh, indent=2)

@@ -50,11 +50,21 @@ class BenchResult:
         return dataclasses.asdict(self)
 
 
+def _sync(out):
+    """True completion barrier: through a remote-TPU relay,
+    ``block_until_ready`` can return before execution finishes; a small
+    host transfer does not."""
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "shape")]
+    if leaves:
+        np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+    return out
+
+
 def _timeit(fn: Callable, n_rep: int = 3) -> float:
     best = np.inf
     for _ in range(n_rep):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -69,9 +79,17 @@ def time_batch(
     """Time one jitted batched solve (compile excluded)."""
     if solver == "mixed":
         run = jax.jit(jax.vmap(lambda p: solve_mixed(p, opt)))
+    elif solver == "pallas":
+        from ..solver.fast import solve_refined_pallas
+
+        run = jax.jit(lambda p: solve_refined_pallas(p, opt))
+    elif solver == "refined":
+        from ..solver.fast import solve_refined
+
+        run = jax.jit(jax.vmap(lambda p: solve_refined(p, opt)))
     else:
         run = jax.jit(lambda p: solve_batch(p, opt))
-    res = jax.block_until_ready(run(pbs))  # compile + warmup
+    res = _sync(run(pbs))  # compile + warmup
     wall = _timeit(lambda: run(pbs), n_rep)
     batch = pbs.G.shape[0]
     resid = jax.vmap(kkt_residual)(res.x, res.multipliers, pbs)
@@ -125,12 +143,14 @@ def bench_warm_start_trajectory(
     batch: int = 32,
     shift_scale: float = 0.02,
     seed: int = 0,
+    solver: str = "f64",
 ) -> dict:
     """Control-loop trajectory benchmark
     (ref: benchmarks/SolversWarmStart.cpp:31-59,162-169): a batch of QPs
     whose bounds drift a little each step; the warm solver carries the
     previous step's active set. Reports mean iterations/step warm vs cold
-    (the reference's ``it`` counter)."""
+    (the reference's ``it`` counter). ``solver``: "f64" = J/R warm path,
+    "pallas" = whole-solve kernel with explicit-operator warm init."""
     opt = SolverOptions(max_iter=100)
     base = random_qp_batch(jax.random.key(seed), batch, n, m, act_frac=0.4)
     key = jax.random.key(seed + 1)
@@ -140,35 +160,62 @@ def bench_warm_start_trajectory(
     def shifted(pb: QPProblem, d):
         return dataclasses.replace(pb, l=pb.l + d, u=pb.u + d)
 
-    @jax.jit
-    def run_warm(base, drifts):
-        def step(carry, d):
-            hints = carry
-            pbs = jax.vmap(shifted)(base, d)
-            res = jax.vmap(lambda p, h: solve_warm(p, h, opt))(pbs, hints)
-            return res.active_set, (res.iterations, res.status)
+    if solver == "pallas":
+        from ..solver.fast import (
+            solve_refined_pallas,
+            solve_refined_warm_pallas,
+        )
 
-        init = jnp.zeros((batch, m + n), jnp.int32)
-        _, (its, sts) = jax.lax.scan(step, init, drifts)
-        return its, sts
+        @jax.jit
+        def run_warm(base, drifts):
+            def step(hints, d):
+                pbs = jax.vmap(shifted)(base, d)
+                res = solve_refined_warm_pallas(pbs, hints, opt)
+                return res.active_set, (res.iterations, res.status)
 
-    @jax.jit
-    def run_cold(base, drifts):
-        def step(_, d):
-            pbs = jax.vmap(shifted)(base, d)
-            res = jax.vmap(lambda p: solve(p, opt))(pbs)
-            return 0, (res.iterations, res.status)
+            init = jnp.zeros((batch, m + n), jnp.int32)
+            _, (its, sts) = jax.lax.scan(step, init, drifts)
+            return its, sts
 
-        _, (its, sts) = jax.lax.scan(step, 0, drifts)
-        return its, sts
+        @jax.jit
+        def run_cold(base, drifts):
+            def step(_, d):
+                pbs = jax.vmap(shifted)(base, d)
+                res = solve_refined_pallas(pbs, opt)
+                return 0, (res.iterations, res.status)
 
-    its_w, sts_w = jax.block_until_ready(run_warm(base, drifts))
-    its_c, sts_c = jax.block_until_ready(run_cold(base, drifts))
+            _, (its, sts) = jax.lax.scan(step, 0, drifts)
+            return its, sts
+    else:
+        @jax.jit
+        def run_warm(base, drifts):
+            def step(carry, d):
+                hints = carry
+                pbs = jax.vmap(shifted)(base, d)
+                res = jax.vmap(lambda p, h: solve_warm(p, h, opt))(pbs, hints)
+                return res.active_set, (res.iterations, res.status)
+
+            init = jnp.zeros((batch, m + n), jnp.int32)
+            _, (its, sts) = jax.lax.scan(step, init, drifts)
+            return its, sts
+
+        @jax.jit
+        def run_cold(base, drifts):
+            def step(_, d):
+                pbs = jax.vmap(shifted)(base, d)
+                res = jax.vmap(lambda p: solve(p, opt))(pbs)
+                return 0, (res.iterations, res.status)
+
+            _, (its, sts) = jax.lax.scan(step, 0, drifts)
+            return its, sts
+
+    its_w, sts_w = _sync(run_warm(base, drifts))
+    its_c, sts_c = _sync(run_cold(base, drifts))
     t_w = _timeit(lambda: run_warm(base, drifts))
     t_c = _timeit(lambda: run_cold(base, drifts))
     n_solves = steps * batch
     return dict(
-        name=f"warm_start_trajectory/n={n}/m={m}/steps={steps}",
+        name=f"warm_start_trajectory/{solver}/n={n}/m={m}/steps={steps}",
         batch=batch,
         steps=steps,
         warm_mean_it=float(jnp.mean(its_w[1:])),  # step 0 is effectively cold

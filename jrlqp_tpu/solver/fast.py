@@ -63,7 +63,8 @@ from ..types import (
 from .dense import _constraint_normal, _select_violated, _selected_bound
 from .state import GIResult
 
-__all__ = ["solve_fast", "solve_refined", "solve_refined_pallas", "FastState"]
+__all__ = ["solve_fast", "solve_refined", "solve_refined_pallas",
+           "solve_fast_warm", "solve_refined_warm_pallas", "FastState"]
 
 
 @jax.tree_util.register_dataclass
@@ -549,11 +550,14 @@ def solve_refined_pallas(
     state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
     out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
                           pack=pack)
+    return _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
 
-    zeros_b = jnp.zeros((B,), jnp.float32)
-    st = FastState(
+
+def _state_from_kernel_out(out: dict, B: int) -> FastState:
+    """Batched FastState from the Pallas kernel's output dict."""
+    return FastState(
         x=out["x"],
-        f=zeros_b,
+        f=jnp.zeros((B,), jnp.float32),
         H=out["H"],
         Ns=out["Ns"],
         status=out["status"],
@@ -566,4 +570,158 @@ def solve_refined_pallas(
         sc_idx=jnp.full((B,), -1, jnp.int32),
         sc_status=jnp.zeros((B,), jnp.int32),
     )
-    return _refine_batch(pbs, st, ir_steps)
+
+
+# ---------------------------------------------------------------------------
+# warm start (explicit-operator form)
+# ---------------------------------------------------------------------------
+
+def _init_fast_warm(pb: QPProblem, as_hint: jax.Array,
+                    opt: SolverOptions) -> FastState:
+    """Warm-start init for the explicit-operator engine.
+
+    Same pipeline as the reference's experimental warm start
+    (ref: src/experimental/GoldfarbIdnaniSolver.cpp:66-111) but building the
+    explicit reduced operators instead of a QR: the hint processing and
+    signed active normals are shared with :mod:`.warm_start`; then
+
+        M  = N^T G^-1 N  (identity-padded beyond q),  via one Cholesky
+        N* = M^-1 N^T G^-1,     H = G^-1 - (G^-1 N) N*
+        u  = M^-1 b + N* a,     x = N*^T b - H a      (KKT closed form)
+
+    followed by the reference's one-at-a-time deactivation of wrongly
+    hinted constraints with u < 0 (rank-one downdates, counted as
+    iterations). A rank-deficient hinted set (Cholesky of M fails) falls
+    back to the cold init.
+    """
+    from .warm_start import (
+        _active_normals_and_bounds,
+        _process_initial_active_set,
+    )
+
+    n, m = pb.n, pb.m
+    dtype = pb.G.dtype
+    status, aorder, q, over = _process_initial_active_set(pb, as_hint, opt)
+    N, b_act = _active_normals_and_bounds(pb, status, aorder, q)
+    k = jnp.arange(n)
+    eye = jnp.eye(n, dtype=dtype)
+    L = jnp.linalg.cholesky(pb.G)
+    posdef = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+    Lsafe = jnp.where(posdef, L, eye)
+    Linv = jax.lax.linalg.triangular_solve(
+        Lsafe, eye, left_side=True, lower=True)
+    Ginv = Linv.T @ Linv
+    W = Ginv @ N                                   # cols 0..q-1 = G^-1 n_k
+    M = N.T @ W
+    pad = (k[:, None] >= q) | (k[None, :] >= q)
+    Lm = jnp.linalg.cholesky(jnp.where(pad, eye, M))
+    indep = jnp.all(jnp.isfinite(jnp.diagonal(Lm)))
+    Lm = jnp.where(indep, Lm, eye)
+    Lminv = jax.lax.linalg.triangular_solve(
+        Lm, eye, left_side=True, lower=True)
+    Minv = Lminv.T @ Lminv
+    Ns = Minv @ W.T
+    Ns = jnp.where(k[:, None] >= q, 0.0, Ns)
+    H = Ginv - W @ Ns
+    u_head = Minv @ b_act + Ns @ pb.a
+    u_head = jnp.where(k < q, u_head, 0.0)
+    x = Ns.T @ b_act - H @ pb.a
+    f = 0.5 * x @ (pb.G @ x) + pb.a @ x
+    term = jnp.where(
+        over, OVERCONSTRAINED_PROBLEM,
+        jnp.where(posdef, RUNNING, NON_POS_HESSIAN)).astype(jnp.int32)
+    warm = FastState(
+        x=x, f=f, H=H, Ns=Ns, status=status, aorder=aorder,
+        u=jnp.concatenate([u_head, jnp.zeros((1,), dtype)]),
+        q=q, it=jnp.zeros((), jnp.int32), term=term,
+        skip1=jnp.zeros((), bool), sc_idx=jnp.full((), -1, jnp.int32),
+        sc_status=jnp.zeros((), jnp.int32),
+    )
+    state = _tree_where(indep, warm, _init_fast(pb, opt))
+
+    # deactivate wrongly-hinted constraints with u < 0, one at a time
+    # (ref :83-108); cheap rank-one downdates in explicit form
+    utol = -1e-14 if dtype == jnp.float64 else -1e-5
+
+    def worst(st):
+        idxs = jnp.where(k < st.q, st.aorder, 0)
+        sts = st.status[jnp.clip(idxs, 0, m + n - 1)]
+        elig = (k < st.q) & (sts != EQUALITY) & (sts != FIXED)
+        vals = jnp.where(elig, st.u[:n], 0.0)
+        lmin = jnp.argmin(vals).astype(jnp.int32)
+        return lmin, vals[lmin]
+
+    def cond(carry):
+        st, _ = carry
+        lmin, umin = worst(st)
+        return (st.term == RUNNING) & (umin < utol)
+
+    def body(carry):
+        st, b = carry
+        lmin, _ = worst(st)
+        st2 = _apply_remove(pb, st, lmin, st.u)
+        src = jnp.where((k >= lmin) & (k < st2.q), k + 1, k)
+        b2 = jnp.take(b, jnp.clip(src, 0, n - 1))
+        b2 = jnp.where(k >= st2.q, 0.0, b2)
+        # closed-form primal/dual on the reduced set (M^-1 = N* G N*^T)
+        x2 = st2.Ns.T @ b2 - st2.H @ pb.a
+        u2 = st2.Ns @ (pb.a + pb.G @ (st2.Ns.T @ b2))
+        u2 = jnp.where(k < st2.q, u2, 0.0)
+        f2 = 0.5 * x2 @ (pb.G @ x2) + pb.a @ x2
+        st2 = dataclasses.replace(
+            st2, x=x2, f=f2,
+            u=jnp.concatenate([u2, jnp.zeros((1,), dtype)]),
+            it=st.it + 1,
+        )
+        return st2, b2
+
+    state, _ = jax.lax.while_loop(cond, body, (state, b_act))
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def solve_fast_warm(pb: QPProblem, as_hint: jax.Array,
+                    opt: SolverOptions = SolverOptions()) -> GIResult:
+    """Warm-started explicit-form GI solve (single problem, vmap-able).
+    ``as_hint`` is an (m+n,) ActivationStatus vector, e.g. a previous
+    result's ``active_set``. Differential-tested against
+    :func:`jrlqp_tpu.solve_warm`."""
+    state = _init_fast_warm(pb, as_hint, opt)
+    max_iter = jnp.asarray(opt.max_iter, jnp.int32)
+
+    def cond(st):
+        return (st.term == RUNNING) & (st.it < max_iter)
+
+    state = jax.lax.while_loop(
+        cond, lambda st: fast_iteration(pb, st, opt), state)
+    term = jnp.where(state.term == RUNNING, MAX_ITER_REACHED, state.term)
+    return _finalize(pb, dataclasses.replace(
+        state, term=term.astype(jnp.int32)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("opt", "ir_steps", "interpret", "pack"))
+def solve_refined_warm_pallas(
+    pbs: QPProblem,
+    as_hints: jax.Array,
+    opt: SolverOptions = SolverOptions(),
+    ir_steps: int = 3,
+    interpret: bool = False,
+    pack: int = 16,
+) -> GIResult:
+    """Batched warm-started f32 GI via the Pallas whole-solve kernel + IR.
+
+    ``as_hints`` is (B, m+n) activation statuses (e.g. the previous control
+    step's ``active_set``). With a good hint the kernel loop converges in
+    0-5 iterations -- the SolversWarmStart control-loop workload
+    (ref: benchmarks/SolversWarmStart.cpp:218-276)."""
+    from ..ops.pallas.gi_kernel import run_loop_pallas
+
+    B = pbs.a.shape[0]
+    pb32 = pbs.with_dtype(jnp.float32)
+    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    state0 = jax.vmap(lambda p, h: _init_fast_warm(p, h, opt32))(
+        pb32, as_hints)
+    out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
+                          pack=pack)
+    return _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
