@@ -68,15 +68,21 @@ def solve_sharded(
     opt: SolverOptions = SolverOptions(),
     mesh: Optional[Mesh] = None,
     axis: str = "batch",
+    engine: str = "f64",
 ):
     """Solve a stacked batch of QPs sharded over a device mesh.
 
-    Each device vmaps the GI solve over its local shard; a single psum/pmax
-    pass at the end produces global convergence statistics. Returns
-    (GIResult batch sharded like the input, BatchStats).
+    Each device runs the chosen engine over its local shard ("f64" =
+    reference-faithful J/R loop; "refined" = f32 explicit-operator loop +
+    f64-residual refinement; "pallas" = the whole-solve kernel, falling back
+    to interpret mode on non-TPU meshes so sharding can be validated on
+    virtual CPU devices); a single psum/pmax pass at the end produces global
+    convergence statistics. Returns (GIResult batch sharded like the input,
+    BatchStats).
     """
     if mesh is None:
         mesh = make_mesh(axis=axis)
+    on_tpu = mesh.devices.ravel()[0].platform == "tpu"
 
     # check_vma=False: the GI while_loop mixes device-varying problem data
     # with replicated constants (identity J/R seeds) in its carry; the solve
@@ -89,7 +95,17 @@ def solve_sharded(
         check_vma=False,
     )
     def _shard_solve(local: QPProblem):
-        res: GIResult = jax.vmap(lambda p: _solve_impl(p, opt))(local)
+        if engine == "pallas":
+            from ..solver.fast import solve_refined_pallas
+
+            res: GIResult = solve_refined_pallas(
+                local, opt, interpret=not on_tpu)
+        elif engine == "refined":
+            from ..solver.fast import solve_refined
+
+            res = jax.vmap(lambda p: solve_refined(p, opt))(local)
+        else:
+            res = jax.vmap(lambda p: _solve_impl(p, opt))(local)
         stats = BatchStats(
             total_iterations=jax.lax.psum(jnp.sum(res.iterations), axis),
             n_success=jax.lax.psum(
