@@ -21,6 +21,7 @@ jax.config.update("jax_enable_x64", True)
 
 from jrlqp_tpu.bench import (
     bench_active_sweep,
+    bench_box_single,
     bench_decompositions,
     bench_size_sweep,
     bench_warm_start_trajectory,
@@ -32,7 +33,7 @@ def main():
     ap.add_argument("--out", default="benchmarks/out")
     ap.add_argument("--solver", default="f64", choices=["f64", "mixed", "refined", "pallas"])
     ap.add_argument("--suite", default="all",
-                    choices=["all", "size", "active", "warm", "decomp"])
+                    choices=["all", "size", "active", "warm", "decomp", "box"])
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -53,6 +54,10 @@ def main():
             w.writeheader()
             w.writerows(rows)
         print(f"wrote {path}")
+
+    if args.suite in ("all", "box"):
+        r = bench_box_single(batch=max(args.batch, 1024))
+        print(json.dumps(r))
 
     if args.suite in ("all", "warm"):
         r = bench_warm_start_trajectory(batch=min(args.batch, 32),

@@ -5,6 +5,7 @@ from .harness import (
     bench_decompositions,
     bench_size_sweep,
     bench_warm_start_trajectory,
+    bench_box_single,
     time_batch,
 )
 

@@ -227,6 +227,41 @@ def bench_warm_start_trajectory(
     )
 
 
+def bench_box_single(
+    n: int = 16,
+    batch: int = 1024,
+    seed: int = 0,
+    n_rep: int = 3,
+) -> dict:
+    """Box-and-single-constraint batch (BASELINE config 2 / ref
+    benchmarks/BoxAndSingleConstraintSolver.cpp): 1k+ small
+    min |x - x0|^2 s.t. c'x >= bl, box problems, vmapped."""
+    from ..solver.box_single import solve_box
+
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.standard_normal((batch, n)))
+    c = jnp.asarray(rng.standard_normal((batch, n)))
+    xl = jnp.asarray(-np.abs(rng.standard_normal((batch, n))) - 0.1)
+    xu = jnp.asarray(np.abs(rng.standard_normal((batch, n))) + 0.1)
+    mid = np.clip(np.asarray(x0), np.asarray(xl), np.asarray(xu))
+    bl = jnp.asarray(np.sum(np.asarray(c) * mid, axis=1)
+                     + rng.uniform(-0.5, 0.5, batch))
+    opt = SolverOptions(max_iter=3 * n)
+    run = jax.jit(jax.vmap(lambda *a: solve_box(*a, opt)))
+    res = _sync(run(x0, c, bl, xl, xu))
+    wall = _timeit(lambda: run(x0, c, bl, xl, xu), n_rep)
+    ok = res.status == 0
+    return dict(
+        name=f"box_single/n={n}",
+        batch=batch,
+        wall_s=wall,
+        us_per_solve=wall / batch * 1e6,
+        solves_per_sec=batch / wall,
+        mean_iterations=float(jnp.mean(res.iterations)),
+        success_rate=float(jnp.mean(ok.astype(jnp.float64))),
+    )
+
+
 def bench_decompositions(
     nb: int = 9, s: int = 48, batch: int = 16, seed: int = 0
 ) -> list[dict]:

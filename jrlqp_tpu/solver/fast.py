@@ -228,7 +228,7 @@ def fast_iteration(pb: QPProblem, state: FastState, opt: SolverOptions) -> FastS
 def _init_fast(pb: QPProblem, opt: SolverOptions) -> FastState:
     """Cold init: H = G^-1, x = -G^-1 a, then equality/fixed auto-activation
     by replaying adds (ref: init_ / initActiveSet semantics)."""
-    n, m = pb.n, pb.m
+    n = pb.n
     dtype = pb.G.dtype
     L = jnp.linalg.cholesky(pb.G)
     posdef = jnp.all(jnp.isfinite(jnp.diagonal(L)))
@@ -238,6 +238,16 @@ def _init_fast(pb: QPProblem, opt: SolverOptions) -> FastState:
     )
     H = Linv.T @ Linv  # G^-1
     x = -(H @ pb.a)
+    return _init_fast_from_ops(pb, H, x, posdef, opt)
+
+
+def _init_fast_from_ops(pb: QPProblem, H, x, posdef, opt: SolverOptions
+                        ) -> FastState:
+    """Cold init from externally-computed operators (H = G^-1 and
+    x = -G^-1 a) -- lets structured factorizations (blocked LLT, O(nb*s^3))
+    feed the explicit-operator engine without a dense Cholesky."""
+    n, m = pb.n, pb.m
+    dtype = pb.G.dtype
     f = 0.5 * jnp.dot(pb.a, x)
     state = FastState(
         x=x, f=f, H=H, Ns=jnp.zeros((n, n), dtype),

@@ -120,3 +120,22 @@ def test_structured_batched_vmap():
         np.testing.assert_allclose(
             np.asarray(res.x[k]), np.asarray(ref.x), rtol=1e-8, atol=1e-8
         )
+
+
+def test_structured_fast_matches_structured():
+    """Fast (f32 + IR) structured engine vs the f64 J/R structured solver."""
+    import numpy as np
+
+    from jrlqp_tpu.structured.solver import (
+        solve_structured,
+        solve_structured_fast,
+    )
+
+    rng = np.random.default_rng(11)
+    sg, a, sc, l, u = _rand_structured(rng, nb=4, s=6, mc=3,
+                                       gtype=GType.TRI_BLOCK_DIAGONAL)
+    r64 = solve_structured(sg, a, sc, l, u)
+    rf = solve_structured_fast(sg, a, sc, l, u)
+    assert int(rf.status) == int(r64.status) == 0
+    np.testing.assert_allclose(np.asarray(rf.x), np.asarray(r64.x),
+                               atol=1e-7)
