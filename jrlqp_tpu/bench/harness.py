@@ -72,7 +72,7 @@ def _timeit(fn: Callable, n_rep: int = 3) -> float:
 def time_batch(
     name: str,
     pbs: QPProblem,
-    opt: SolverOptions = SolverOptions(max_iter=150),
+    opt: SolverOptions = SolverOptions(max_iter=500),
     solver: str = "f64",
     n_rep: int = 3,
 ) -> BenchResult:

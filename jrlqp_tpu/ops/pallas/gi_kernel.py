@@ -561,17 +561,38 @@ def _kernel_packed(
         [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
 
 
+def _auto_pack(np_: int, mp_: int) -> int:
+    """Largest pack size whose scoped-VMEM footprint fits the 16MB limit.
+
+    Empirical model from v5e compile failures: the per-problem scoped
+    footprint is ~5x the raw f32 bytes of (G + C + 3K + rows); packs of
+    {16, 8, 4, 2, 1} are tried against a 13MB budget (leaving headroom
+    under the 16MB scoped limit)."""
+    raw = (np_ * np_ + mp_ * np_ + 3 * (2 * np_ * np_)
+           + 8 * np_ + 4 * mp_) * 4
+    per_problem = 5 * raw
+    budget = 13 * 2 ** 20
+    for pack in (16, 8, 4, 2):
+        if pack * per_problem <= budget:
+            return pack
+    return 1
+
+
 def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
-                    interpret: bool = False, pack: int = 16):
+                    interpret: bool = False, pack: int | None = None):
     """Run the GI loop via the Pallas kernel for a batch of f32 problems.
 
     ``pb32``: stacked QPProblem (leading batch dim, float32). ``state0``: the
     batched FastState from vmapped ``_init_fast``. ``pack``: problems per
     grid program (1 = branchy single-problem kernel; >1 = vectorized masked
-    kernel, ~4x faster per problem at 8). Returns a dict of final batched
-    state pieces (x, u, status, aorder, q, it, term, H, Ns) in the
-    library's (m+n) index layout.
+    kernel, ~4x faster per problem; None = largest size fitting the scoped
+    VMEM limit). Returns a dict of final batched state pieces
+    (x, u, status, aorder, q, it, term, H, Ns) in the library's (m+n)
+    index layout.
     """
+    if pack is None:
+        pack = _auto_pack(_round_up(pb32.a.shape[1] + 1, 8),
+                          _round_up(max(pb32.C.shape[1], 1), 8))
     if pack > 1:
         Borig = pb32.a.shape[0]
         pad = (-Borig) % pack

@@ -541,7 +541,7 @@ def solve_refined_pallas(
     opt: SolverOptions = SolverOptions(),
     ir_steps: int = 3,
     interpret: bool = False,
-    pack: int = 16,
+    pack: int | None = None,
 ) -> GIResult:
     """Batched f32 GI via the Pallas whole-solve kernel + IR finalization.
 
@@ -717,7 +717,7 @@ def solve_refined_warm_pallas(
     opt: SolverOptions = SolverOptions(),
     ir_steps: int = 3,
     interpret: bool = False,
-    pack: int = 16,
+    pack: int | None = None,
 ) -> GIResult:
     """Batched warm-started f32 GI via the Pallas whole-solve kernel + IR.
 
