@@ -49,9 +49,10 @@ from jrlqp_tpu.testing.kkt import kkt_residual
 PER_CHIP_TARGET = 1e5 / 8  # v5p-16 north star, per chip
 
 N, M = 50, 100
-BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 SOLVER = os.environ.get("BENCH_SOLVER", "pallas")
+IR_STEPS = int(os.environ.get("BENCH_IR_STEPS", "2"))
 
 
 def main():
@@ -59,7 +60,7 @@ def main():
     opt = SolverOptions(max_iter=150)
 
     if SOLVER == "pallas":
-        run = jax.jit(lambda p: solve_refined_pallas(p, opt))
+        run = jax.jit(lambda p: solve_refined_pallas(p, opt, ir_steps=IR_STEPS))
     elif SOLVER == "refined":
         run = jax.jit(jax.vmap(lambda p: solve_refined(p, opt)))
     elif SOLVER == "mixed":
@@ -76,7 +77,8 @@ def main():
 
     t_start = time.perf_counter()
     key = jax.random.key(0)
-    pbs = random_qp_batch(key, BATCH, N, M, act_frac=0.3)
+    pbs = random_qp_batch(key, BATCH, N, M, act_frac=0.3,
+                          dtype=jnp.float32).with_dtype(jnp.float64)
     np.asarray(pbs.G)  # force generation
     print(f"# gen done t={time.perf_counter() - t_start:.1f}s", file=sys.stderr)
 
@@ -93,7 +95,9 @@ def main():
 
     times = []
     for r in range(REPS):
-        pbs_r = random_qp_batch(jax.random.key(r + 1), BATCH, N, M, act_frac=0.3)
+        pbs_r = random_qp_batch(jax.random.key(r + 1), BATCH, N, M,
+                                act_frac=0.3,
+                                dtype=jnp.float32).with_dtype(jnp.float64)
         np.asarray(pbs_r.G)  # materialize inputs before the clock starts
         t0 = time.perf_counter()
         out = run(pbs_r)

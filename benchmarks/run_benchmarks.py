@@ -58,6 +58,8 @@ def main():
     if args.suite in ("all", "box"):
         r = bench_box_single(batch=max(args.batch, 1024))
         print(json.dumps(r))
+        with open(os.path.join(args.out, "box_single.json"), "w") as fh:
+            json.dump(r, fh, indent=2)
 
     if args.suite in ("all", "warm"):
         r = bench_warm_start_trajectory(batch=min(args.batch, 32),

@@ -56,7 +56,7 @@ def _sync(out):
     host transfer does not."""
     leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "shape")]
     if leaves:
-        np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        np.asarray(leaves[0].ravel()[:1])
     return out
 
 

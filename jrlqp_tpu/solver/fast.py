@@ -347,17 +347,47 @@ def solve_fast(pb: QPProblem, opt: SolverOptions = SolverOptions()) -> GIResult:
 # mixed-precision iterative refinement
 # ---------------------------------------------------------------------------
 
+def _default_platform() -> str:
+    """Effective default platform at trace time: the pinned default device
+    (jax_default_device, used by the test conftest to select CPU while the
+    TPU plugin stays the default *backend*) or else the default backend."""
+    dev = jax.config.jax_default_device
+    return dev.platform if dev is not None else jax.default_backend()
+
+
+def _exact_scatter(idx, vals32, width: int):
+    """Disjoint-index scatter of exact f32 values into (B, width) rows.
+
+    ``idx``/``vals32`` are (B, k); each row's indices are distinct (a
+    constraint is active at most once), so the sum per output slot has at
+    most one nonzero term and the f32 elementwise multiply+sum is EXACT.
+    Kept off the MXU on purpose: a dot_general would reconstruct f32 via
+    bf16x3 passes and round at eps32."""
+    oh = jax.nn.one_hot(idx, width, dtype=jnp.float32)      # (B, k, width)
+    return jnp.sum(oh * vals32[:, :, None], axis=1)
+
+
 def _refine_batch(pbs: QPProblem, st: FastState, ir_steps: int) -> GIResult:
     """Batched mixed-precision iterative refinement (B-leading arrays).
 
     Numerically equivalent to ``vmap(_refine)`` but restructured for TPU:
-    float64 matvecs on TPU are latency-bound per batch element (~17ms for a
-    (4096,50,50) batch regardless of inner size), so the big f64 products
-    (G x, C x, N^T mu) are computed ONCE in a single stacked matvec, and the
-    per-step residuals are tracked incrementally with float32 increments --
-    the increments scale with the (small) correction, so their f32 rounding
-    error is O(eps32 * residual), far below the 1e-8 KKT target.
+    float64 contractions on TPU are software-emulated (~20x f32 cost), so
+    the one-time high-precision residual products (G x, C x, N lam) use the
+    double-single compensated f32 path (:mod:`jrlqp_tpu.ops.doublefloat`,
+    ~2^-48 accurate), and the per-step residual trackers advance with plain
+    float32 increments -- the increments scale with the (small) correction,
+    so their rounding error is O(eps32 * residual), far below the 1e-8 KKT
+    target. The only f64 tensors ever touched are (B, n)/(B, m) vectors.
+
+    The dd path is TPU-only: on CPU float64 is native (so dd is strictly
+    slower), and the XLA:CPU pipeline reassociates the error-free
+    transformations away under jit (measured: the Veltkamp two_prod error
+    term collapses, flooring residuals at ~1e-8), so CPU/GPU take the
+    native-f64 branch below.
     """
+    from ..ops.doublefloat import dd_contract, dd_matvec, join_f64, split_f64
+
+    use_dd = _default_platform() == "tpu"
     B, n = pbs.a.shape
     m = pbs.C.shape[1]
     f64, f32 = jnp.float64, jnp.float32
@@ -381,31 +411,49 @@ def _refine_batch(pbs: QPProblem, st: FastState, ir_steps: int) -> GIResult:
         jnp.take_along_axis(pbs.xl.astype(f64), bidx, 1))
     b = sgn64 * jnp.where(is_b, b_bnd, b_gen) * valid       # (B, n) signed
 
-    # N rows (slot-major): N^T[k] = sgn_k * (e_{idx-m} | C[idx]).
-    # The f64 copy must come from the TRUE f64 C (an f32-truncated N would
-    # floor the stationarity residual at eps32 * |C| * |lam|).
-    C64 = pbs.C.astype(f64)
-    Crows = jnp.take_along_axis(C64, cidx[:, :, None], axis=1)  # (B, n, n)
-    Erows = jax.nn.one_hot(jnp.where(is_b, idxs - m, -1), n, dtype=f64)
-    Nt64 = (sgn64 * valid)[:, :, None] * jnp.where(
-        is_b[:, :, None], Erows, Crows)                     # (B, n, n)
-    Nt32 = Nt64.astype(f32)
+    # N rows in f32 for the cheap per-step increments (slot-major):
+    # N^T[k] = sgn_k * (e_{idx-m} | C[idx]). The accuracy-critical one-time
+    # products below come from the dd-split TRUE C, not this truncation.
+    if use_dd:
+        Gh, Gl = split_f64(pbs.G)                           # (B, n, n) f32 x2
+        Ch, Cl = split_f64(pbs.C)                           # (B, m, n) f32 x2
+    else:
+        Gh, Ch = pbs.G.astype(f32), pbs.C.astype(f32)
+    sgn32 = sgn64.astype(f32)
+    Crows = jnp.take_along_axis(Ch, cidx[:, :, None], axis=1)  # (B, n, n)
+    Erows = jax.nn.one_hot(jnp.where(is_b, idxs - m, -1), n, dtype=f32)
+    Nt32 = sgn32[:, :, None] * jnp.where(is_b[:, :, None], Erows, Crows)
 
-    G64 = pbs.G.astype(f64)
     a64 = pbs.a.astype(f64)
-    G32 = G64.astype(f32)
-    H32, Ns32 = st.H, st.Ns
+    G32, H32, Ns32 = Gh, st.H, st.Ns
 
-    x = st.x.astype(f64)
-    lam = jnp.where(valid, st.u[:, :n], 0.0).astype(f64)
+    # x0 and lam0 are exact f32 values from the kernel
+    x32 = st.x
+    lam32 = jnp.where(valid, st.u[:, :n], 0.0).astype(f32)
+    x = x32.astype(f64)
+    lam = lam32.astype(f64)
+    z32 = jnp.zeros_like(x32)
 
-    # one-time f64 products, stacked into ONE latency-bound matvec:
-    # [G; N^T] (B, 2n, n) @ x -> [Gx; N^T x]
-    M = jnp.concatenate([G64, Nt64], axis=1)                # (B, 2n, n)
-    Mx = jnp.einsum("bij,bj->bi", M, x)
-    y = Mx[:, :n]                                           # Gx tracker (f64)
-    ntx = Mx[:, n:]                                         # N^T x tracker
-    w = jnp.einsum("bij,bi->bj", Nt64, lam)                 # N lam tracker
+    # one-time high-precision products:
+    #   y   = G x                                 (B, n)
+    #   cx  = C x   -> ntx = sgn * gather         (B, n)
+    #   w   = N lam = C^T mu_c + mu_b             (B, n)
+    mu_c = _exact_scatter(jnp.where(is_b, m, cidx), sgn32 * lam32, m)
+    mu_b = _exact_scatter(jnp.where(is_b, bidx, n), sgn32 * lam32, n)
+    if use_dd:  # compensated f32 (pure VPU work; TPU f64 is emulated)
+        y = join_f64(*dd_matvec(Gh, Gl, x32, z32))
+        cx = join_f64(*dd_matvec(Ch, Cl, x32, z32))
+        w = join_f64(*dd_contract(
+            Ch, Cl, mu_c[:, :, None], jnp.zeros_like(mu_c)[:, :, None],
+            axis=-2)) + mu_b.astype(f64)
+    else:  # native float64 (CPU/GPU)
+        y = jnp.einsum("bij,bj->bi", pbs.G.astype(f64), x)
+        cx = jnp.einsum("bij,bj->bi", pbs.C.astype(f64), x)
+        w = jnp.einsum("bmi,bm->bi", pbs.C.astype(f64),
+                       mu_c.astype(f64)) + mu_b.astype(f64)
+    ntx = sgn64 * jnp.where(
+        is_b, jnp.take_along_axis(x, bidx, 1),
+        jnp.take_along_axis(cx, cidx, 1))
 
     def ir_body(_, carry):
         x, lam, y, ntx, w = carry
@@ -430,12 +478,18 @@ def _refine_batch(pbs: QPProblem, st: FastState, ir_steps: int) -> GIResult:
     x, lam, y, ntx, w = jax.lax.fori_loop(
         0, ir_steps, ir_body, (x, lam, y, ntx, w))
 
-    # expand multipliers: external sign convention (UPPER-active positive)
+    # expand multipliers: external sign convention (UPPER-active positive);
+    # scatter the f64 values as exact (hi, lo) f32 pairs (disjoint indices)
     sign_out = jnp.where((stat == UPPER) | (stat == UPPER_BOUND), 1.0, -1.0)
     vals = jnp.where(valid, sign_out * lam, 0.0)
-    multipliers = jnp.zeros((B, m + n), f64)
-    multipliers = jax.vmap(lambda mu, i, v: mu.at[i].add(v))(
-        multipliers, idxs, vals)
+    if use_dd:
+        vh = vals.astype(f32)
+        vl = (vals - vh.astype(f64)).astype(f32)
+        multipliers = (_exact_scatter(idxs, vh, m + n).astype(f64)
+                       + _exact_scatter(idxs, vl, m + n).astype(f64))
+    else:
+        multipliers = jax.vmap(lambda mu, i, v: mu.at[i].add(v))(
+            jnp.zeros((B, m + n), f64), idxs, vals)
     f = 0.5 * jnp.sum(x * y, axis=1) + jnp.sum(a64 * x, axis=1)
     return GIResult(
         x=x,

@@ -17,11 +17,14 @@ from jrlqp_tpu.testing.batch_gen import random_qp_batch
 from jrlqp_tpu.testing.kkt import kkt_residual
 
 
+@pytest.mark.parametrize("pack", [1, None])
 @pytest.mark.parametrize("n,m,batch", [(8, 12, 6), (13, 7, 4)])
-def test_pallas_matches_xla(n, m, batch):
+def test_pallas_matches_xla(n, m, batch, pack):
+    # pack=1 covers the branchy single-problem kernel (K-stacking,
+    # lax.cond add/remove, skip-step-1); pack=None the vectorized masked one
     opt = SolverOptions(max_iter=60)
     pbs = random_qp_batch(jax.random.key(0), batch, n, m, act_frac=0.4)
-    res_p = solve_refined_pallas(pbs, opt, interpret=True)
+    res_p = solve_refined_pallas(pbs, opt, interpret=True, pack=pack)
     res_x = jax.vmap(lambda p: solve_refined(p, opt))(pbs)
     np.testing.assert_array_equal(np.asarray(res_p.status),
                                   np.asarray(res_x.status))
