@@ -1,6 +1,7 @@
 """I/O layer: QPS reader and Maros-Meszaros corpus tooling."""
-from .maros_meszaros import MAROS_MESZAROS, MarosMeszarosEntry, default_subset, run_corpus
-from .qps import QPSData, parse_qps, read_qps
+from .maros_meszaros import (MAROS_MESZAROS, MarosMeszarosEntry,
+                             default_subset, load_corpus, run_corpus)
+from .qps import QPSData, parse_qps, read_qps, write_qps
 
 __all__ = [
     "QPSData",
@@ -10,4 +11,6 @@ __all__ = [
     "MarosMeszarosEntry",
     "default_subset",
     "run_corpus",
+    "load_corpus",
+    "write_qps",
 ]

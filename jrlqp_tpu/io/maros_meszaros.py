@@ -211,34 +211,19 @@ def default_subset(
     ]
 
 
-def run_corpus(
-    qps_dir: Optional[str] = None,
-    entries: Optional[list[MarosMeszarosEntry]] = None,
-    rel_tol: float = 1e-6,
-    max_iter: int = 2000,
+def load_corpus(
+    qps_dir: str,
+    entries: list[MarosMeszarosEntry],
+    parser_engine: str = "auto",
 ):
-    """Solve the filtered corpus, checking objective vs f* and KKT
-    (ref: GoldfarbIdnaniSolverTest.cpp:221-310). Returns a list of dicts.
+    """Parse the available corpus files.
 
-    Requires a local copy of the collection (``<qps_dir>/<NAME>.QPS`` or
-    ``.SIF``/``.qps``). Problems whose file is missing are skipped with
-    status "missing".
-    """
-    import jax.numpy as jnp
-
-    from ..problems import QPProblem
-    from ..solver.dense import solve
-    from ..testing.kkt import kkt_residual
-    from ..types import SolverOptions, TerminationStatus
+    Returns ``(loaded, missing)`` where ``loaded`` is a list of
+    ``(entry, QPSData)`` and ``missing`` the entries with no file under
+    ``qps_dir`` (``<NAME>.QPS`` / ``.qps`` / ``.SIF``)."""
     from .qps import read_qps
 
-    qps_dir = qps_dir or os.environ.get("JRLQP_TPU_QPS_DIR")
-    if qps_dir is None:
-        raise ValueError("no QPS directory given (set JRLQP_TPU_QPS_DIR)")
-    if entries is None:
-        entries = default_subset()
-
-    results = []
+    loaded, missing = [], []
     for e in entries:
         path = None
         for cand in (f"{e.name}.QPS", f"{e.name}.qps", f"{e.name.upper()}.QPS",
@@ -248,28 +233,106 @@ def run_corpus(
                 path = p
                 break
         if path is None:
-            results.append(dict(name=e.name, status="missing"))
+            missing.append(e)
             continue
-        data = read_qps(path)
-        pb = QPProblem(
-            G=jnp.asarray(data.G), a=jnp.asarray(data.a), C=jnp.asarray(data.C),
-            l=jnp.asarray(data.l), u=jnp.asarray(data.u),
-            xl=jnp.asarray(data.xl), xu=jnp.asarray(data.xu),
-            objcst=jnp.asarray(data.objcst),
+        loaded.append((e, read_qps(path, engine=parser_engine)))
+    return loaded, missing
+
+
+def _bucket_dim(x: int, lo: int = 8) -> int:
+    """Round a size up to the bucket grid: multiples of 8 up to 64, then
+    powers of two. Keeps pad waste <= ~2x while bounding the number of
+    compiled shapes (BASELINE config 3: padded/bucketed shapes)."""
+    x = max(x, lo)
+    if x <= 64:
+        return -(-x // 8) * 8
+    return 1 << (x - 1).bit_length()
+
+
+def run_corpus(
+    qps_dir: Optional[str] = None,
+    entries: Optional[list[MarosMeszarosEntry]] = None,
+    rel_tol: float = 1e-6,
+    max_iter: int = 2000,
+    bucketed: bool = True,
+    engine: str = "f64",
+    parser_engine: str = "auto",
+):
+    """Solve the filtered corpus, checking objective vs f* and KKT
+    (ref: GoldfarbIdnaniSolverTest.cpp:221-310). Returns a list of dicts.
+
+    Requires a local copy of the collection (``<qps_dir>/<NAME>.QPS`` or
+    ``.SIF``/``.qps``). Problems whose file is missing are reported with
+    status "missing".
+
+    ``bucketed=True`` (the TPU execution model, BASELINE config 3) groups
+    problems by padded shape buckets (:func:`_bucket_dim` grid), pads each
+    bucket to a common (n, m), and solves each bucket as ONE batched call
+    -- one compile per bucket shape instead of one per problem.
+    ``engine``: "f64" = reference-faithful J/R loop (robust, right for the
+    corpus's wide conditioning range); "refined" = f32 loop + f64-residual
+    refinement (the throughput path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..problems import QPProblem, stack_problems
+    from ..solver.dense import solve, solve_batch
+    from ..solver.fast import solve_refined
+    from ..testing.kkt import kkt_residual
+    from ..types import SolverOptions, TerminationStatus
+    qps_dir = qps_dir or os.environ.get("JRLQP_TPU_QPS_DIR")
+    if qps_dir is None:
+        raise ValueError("no QPS directory given (set JRLQP_TPU_QPS_DIR)")
+    if entries is None:
+        entries = default_subset()
+
+    loaded, missing = load_corpus(qps_dir, entries, parser_engine)
+    results = [dict(name=e.name, status="missing") for e in missing]
+    opt = SolverOptions(max_iter=max_iter)
+
+    def to_pb(data):
+        return QPProblem(
+            G=jnp.asarray(data.G), a=jnp.asarray(data.a),
+            C=jnp.asarray(data.C), l=jnp.asarray(data.l),
+            u=jnp.asarray(data.u), xl=jnp.asarray(data.xl),
+            xu=jnp.asarray(data.xu), objcst=jnp.asarray(data.objcst),
         )
-        res = solve(pb, SolverOptions(max_iter=max_iter))
-        obj = float(res.f) + data.objcst
+
+    def record(e, data, pb, res):
+        obj = float(res.f) + float(data.objcst)
         ok_obj = abs(obj - e.fstar) <= rel_tol * max(1.0, abs(e.fstar))
         resid = float(kkt_residual(res.x, res.multipliers, pb))
-        results.append(
-            dict(
-                name=e.name,
-                status=TerminationStatus(int(res.status)).name,
-                objective=obj,
-                fstar=e.fstar,
-                obj_ok=bool(ok_obj),
-                kkt_residual=resid,
-                iterations=int(res.iterations),
-            )
-        )
+        results.append(dict(
+            name=e.name,
+            status=TerminationStatus(int(res.status)).name,
+            objective=obj,
+            fstar=e.fstar,
+            obj_ok=bool(ok_obj),
+            kkt_residual=resid,
+            iterations=int(res.iterations),
+        ))
+
+    if not bucketed:
+        for e, data in loaded:
+            pb = to_pb(data)
+            record(e, data, pb, solve(pb, opt))
+        return results
+
+    # shape-bucketed batched execution
+    buckets: dict[tuple[int, int], list] = {}
+    for e, data in loaded:
+        key = (_bucket_dim(data.n), _bucket_dim(data.m))
+        buckets.setdefault(key, []).append((e, data))
+    for (n_pad, m_pad), items in sorted(buckets.items()):
+        pbs = stack_problems([to_pb(d) for _, d in items], n_pad, m_pad)
+        if engine == "refined":
+            batch_res = jax.jit(jax.vmap(
+                lambda p: solve_refined(p, opt)))(pbs)
+        else:
+            batch_res = solve_batch(pbs, opt)
+        for i, (e, data) in enumerate(items):
+            res_i = jax.tree.map(lambda x: x[i], batch_res)
+            pb_i = jax.tree.map(lambda x: x[i], pbs)
+            record(e, data, pb_i, res_i)
     return results

@@ -258,3 +258,99 @@ def read_qps(path: str, engine: str = "auto") -> QPSData:
         if engine == "native":
             raise RuntimeError("native QPS parser not available (run make -C native)")
     return parse_qps(text)
+
+
+def write_qps(name, G, a, C, l, u, xl, xu, objcst: float = 0.0) -> str:
+    """Serialize a dense QP to QPS text (inverse of :func:`parse_qps`).
+
+    The reference only ships a reader (tests/QPSReader.cpp); the writer
+    exists so corpus-style end-to-end tests can synthesize QPS files from
+    generator problems with known optima (VERDICT round-1 item 2). Values
+    are printed with 17 significant digits, so float64 round-trips exactly
+    through the token-based readers (Python and native).
+
+    Encoding choices (mirroring parse_qps semantics exactly):
+    - l == u           -> E row, RHS = l
+    - finite l, inf u  -> G row, RHS = l
+    - inf l, finite u  -> L row, RHS = u
+    - finite l < u     -> G row, RHS = l, RANGES = u - l
+    - free rows (both infinite) are not expressible -> ValueError
+    - variable bounds: FX / FR / MI+UP / LO+UP as needed (MPS defaults are
+      xl = 0, xu = +inf, so only deviations are emitted)
+    - a nonzero objective constant is emitted as RHS on the objective row,
+      negated (the RHS-on-the-wrong-side convention, ref QPSReader.cpp:414)
+    - every column gets an explicit objective entry (even 0.0) so column
+      order is deterministic (readers index columns by first appearance).
+    """
+    G = np.asarray(G, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    xl = np.asarray(xl, dtype=np.float64)
+    xu = np.asarray(xu, dtype=np.float64)
+    n = a.shape[0]
+    m = C.shape[0]
+    fmt = lambda v: f"{v:.17g}"  # noqa: E731
+    cname = [f"x{j}" for j in range(n)]
+    rname = [f"r{i}" for i in range(m)]
+
+    out = [f"NAME          {name}", "ROWS", " N  obj"]
+    rtype = []
+    for i in range(m):
+        li, ui = l[i], u[i]
+        if not (np.isfinite(li) or np.isfinite(ui)):
+            raise ValueError(f"row {i}: free constraint not expressible in QPS")
+        if li == ui:
+            t = "E"
+        elif np.isfinite(li):
+            t = "G"
+        else:
+            t = "L"
+        rtype.append(t)
+        out.append(f" {t}  {rname[i]}")
+
+    out.append("COLUMNS")
+    for j in range(n):
+        out.append(f"    {cname[j]}  obj  {fmt(a[j])}")
+        for i in range(m):
+            if C[i, j] != 0.0:
+                out.append(f"    {cname[j]}  {rname[i]}  {fmt(C[i, j])}")
+
+    out.append("RHS")
+    if objcst != 0.0:
+        out.append(f"    rhs  obj  {fmt(-float(objcst))}")
+    for i in range(m):
+        v = l[i] if rtype[i] in ("E", "G") else u[i]
+        if v != 0.0:
+            out.append(f"    rhs  {rname[i]}  {fmt(v)}")
+
+    ranged = [i for i in range(m)
+              if rtype[i] == "G" and np.isfinite(u[i]) and u[i] != l[i]]
+    if ranged:
+        out.append("RANGES")
+        for i in ranged:
+            out.append(f"    rng  {rname[i]}  {fmt(u[i] - l[i])}")
+
+    out.append("BOUNDS")
+    for j in range(n):
+        lo, up = xl[j], xu[j]
+        if lo == up:
+            out.append(f" FX BND  {cname[j]}  {fmt(lo)}")
+        elif not np.isfinite(lo) and not np.isfinite(up):
+            out.append(f" FR BND  {cname[j]}")
+        else:
+            if not np.isfinite(lo):
+                out.append(f" MI BND  {cname[j]}")
+            elif lo != 0.0:
+                out.append(f" LO BND  {cname[j]}  {fmt(lo)}")
+            if np.isfinite(up):
+                out.append(f" UP BND  {cname[j]}  {fmt(up)}")
+
+    out.append("QUADOBJ")
+    for i in range(n):
+        for j in range(i + 1):  # lower triangle, diagonal included
+            if G[i, j] != 0.0:
+                out.append(f"    {cname[i]}  {cname[j]}  {fmt(G[i, j])}")
+    out.append("ENDATA")
+    return "\n".join(out) + "\n"
