@@ -39,17 +39,18 @@ def initialize(
     (calling this is then a no-op)."""
     if num_processes is not None and num_processes <= 1:
         return
-    if jax.process_count() > 1:
-        return  # already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process environment without coordinator info: fine
-        pass
+    except (ValueError, RuntimeError) as e:
+        if "already" in str(e).lower():
+            return  # second call in the same process: fine
+        if coordinator_address is None and num_processes is None:
+            return  # single-process environment without coordinator: fine
+        raise  # explicit multi-process setup that failed must be loud
 
 
 def global_mesh(axis: str = "batch") -> Mesh:

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -702,9 +703,18 @@ def _init_fast_warm(pb: QPProblem, as_hint: jax.Array,
         sc_status=jnp.zeros((), jnp.int32),
     )
     state = _tree_where(indep, warm, _init_fast(pb, opt))
+    return _deactivate_negative_u(pb, state, b_act)
 
-    # deactivate wrongly-hinted constraints with u < 0, one at a time
-    # (ref :83-108); cheap rank-one downdates in explicit form
+
+def _deactivate_negative_u(pb: QPProblem, state: FastState,
+                           b_act: jax.Array) -> FastState:
+    """Deactivate wrongly-hinted constraints with u < 0, one at a time
+    (ref: src/experimental/GoldfarbIdnaniSolver.cpp:83-108); cheap rank-one
+    downdates in explicit-operator form. ``b_act`` is the signed active
+    bounds vector aligned with the activation slots."""
+    n, m = pb.n, pb.m
+    dtype = pb.G.dtype
+    k = jnp.arange(n)
     utol = -1e-14 if dtype == jnp.float64 else -1e-5
 
     def worst(st):
@@ -789,3 +799,168 @@ def solve_refined_warm_pallas(
     out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
                           pack=pack)
     return _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
+
+
+# ---------------------------------------------------------------------------
+# trajectory / control-loop warm start with operator reuse
+# ---------------------------------------------------------------------------
+
+class WarmCarry(NamedTuple):
+    """Solver state carried between solves of a control-loop trajectory.
+
+    This is the TPU answer to the reference's warm-start refactorization
+    cost: when consecutive problems share G and C (only a / bounds drift --
+    the SolversWarmStart workload, ref: benchmarks/SolversWarmStart.cpp:
+    31-59), the explicit reduced operators H = G^-1 - G^-1 N N* and
+    N* = M^-1 N^T G^-1 depend only on (G, C, active set), so the previous
+    solve's operators are EXACTLY the warm operators -- no Cholesky, no QR,
+    no O(n^3) work at all at solve entry (the reference refactorizes every
+    solve, src/experimental/GoldfarbIdnaniSolver.cpp:392-460).
+    All leaves are float32/int32 with a leading batch dim.
+    """
+
+    H: jax.Array       # (B, n, n) reduced inverse operator
+    Ns: jax.Array      # (B, n, n) N* rows 0..q-1
+    status: jax.Array  # (B, m+n) ActivationStatus
+    aorder: jax.Array  # (B, n) activation order
+    q: jax.Array       # (B,) active count
+
+
+def _init_fast_from_carry(pb: QPProblem, H, Ns, status, aorder,
+                          q) -> FastState:
+    """Warm init reusing a previous solve's operators (same G and C).
+
+    Closed-form primal/dual for the NEW a and bounds through the carried
+    operators (3 matvecs, using M^-1 b = N* G N*^T b):
+        x = N*^T b_act - H a,   u = N* (G x + a)
+    then the reference's one-at-a-time deactivation of u < 0 slots.
+    Contract (caller's responsibility, as with the reference's implicit
+    warm start): G and C unchanged since the carry was produced; bound
+    finiteness pattern and equality structure unchanged.
+    """
+    from .warm_start import _active_normals_and_bounds
+
+    n = pb.n
+    dtype = pb.G.dtype
+    k = jnp.arange(n)
+    _, b_act = _active_normals_and_bounds(pb, status, aorder, q)
+    x = Ns.T @ b_act - H @ pb.a
+    u = Ns @ (pb.a + pb.G @ x)
+    u = jnp.where(k < q, u, 0.0)
+    f = 0.5 * x @ (pb.G @ x) + pb.a @ x
+    state = FastState(
+        x=x, f=f, H=H, Ns=Ns, status=status, aorder=aorder,
+        u=jnp.concatenate([u, jnp.zeros((1,), dtype)]),
+        q=q, it=jnp.zeros((), jnp.int32),
+        term=jnp.asarray(RUNNING, jnp.int32),
+        skip1=jnp.zeros((), bool), sc_idx=jnp.full((), -1, jnp.int32),
+        sc_status=jnp.zeros((), jnp.int32),
+    )
+    return _deactivate_negative_u(pb, state, b_act)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("opt", "ir_steps", "interpret", "pack"))
+def solve_refined_pallas_carry(
+    pbs: QPProblem,
+    carry: WarmCarry | None = None,
+    opt: SolverOptions = SolverOptions(),
+    ir_steps: int = 3,
+    interpret: bool = False,
+    pack: int | None = None,
+) -> tuple[GIResult, WarmCarry]:
+    """Batched Pallas solve for sequential trajectories of related QPs.
+
+    Like :func:`solve_refined_pallas` but returns ``(result, carry)``;
+    passing the carry into the next call warm-starts it with ZERO
+    factorization work (see :class:`WarmCarry` -- requires G and C
+    unchanged across the sequence). First call: ``carry=None`` (cold).
+    Warm calls skip the difficulty presort (near-converged lanes finish
+    in 0-3 iterations anyway, the sort would cost more than it saves).
+    """
+    from ..ops.pallas.gi_kernel import run_loop_pallas
+
+    B = pbs.a.shape[0]
+    pb32 = pbs.with_dtype(jnp.float32)
+    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    if carry is None:
+        state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
+        presort = True
+    else:
+        state0 = jax.vmap(_init_fast_from_carry)(
+            pb32, carry.H, carry.Ns, carry.status, carry.aorder, carry.q)
+        presort = False
+    out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
+                          pack=pack, presort=presort)
+    res = _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
+    new_carry = WarmCarry(H=out["H"], Ns=out["Ns"], status=out["status"],
+                          aorder=out["aorder"], q=out["q"])
+    return res, new_carry
+
+
+# ---------------------------------------------------------------------------
+# f64 rescue of failed lanes (hybrid robustness)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def _rescue_subbatch(pbs: QPProblem, opt: SolverOptions) -> GIResult:
+    """Reference-faithful f64 J/R solve of a (small, padded) sub-batch."""
+    from .dense import solve_batch
+
+    return solve_batch(pbs.with_dtype(jnp.float64), opt)
+
+
+@jax.jit
+def _batch_kkt(pbs: QPProblem, x, multipliers) -> jax.Array:
+    from ..testing.kkt import kkt_residual
+
+    return jax.vmap(kkt_residual)(x, multipliers, pbs)
+
+
+def solve_refined_pallas_rescued(
+    pbs: QPProblem,
+    opt: SolverOptions = SolverOptions(),
+    ir_steps: int = 3,
+    kkt_tol: float = 1e-8,
+    pack: int | None = None,
+    interpret: bool = False,
+) -> GIResult:
+    """Pallas throughput path + f64 rescue of failed lanes.
+
+    The f32 kernel's fixed dependence threshold and tie-breaking degrade at
+    high active fractions (the reference's own [NUMERIC] fragility notes,
+    ref: src/GoldfarbIdnaniSolver.cpp:87,174,236 -- its corpus exclusion
+    list exists for the same reason). This wrapper re-solves the (usually
+    tiny) subset of lanes with a non-SUCCESS status or KKT residual above
+    ``kkt_tol`` using the float64 J/R engine, as a host-orchestrated second
+    phase: failed indices are gathered, padded to a power-of-two bucket
+    (bounded number of compiled shapes), batch-solved in f64, and scattered
+    back. Not jittable end-to-end (the failed count is data-dependent);
+    per-phase work is jitted and the fast path costs one extra (B,) device
+    -> host transfer.
+    """
+    import numpy as np
+
+    res = solve_refined_pallas(pbs, opt, ir_steps=ir_steps, pack=pack,
+                               interpret=interpret)
+    resid = _batch_kkt(pbs, res.x, res.multipliers)
+    bad = np.nonzero(np.asarray((resid > kkt_tol)
+                                | (res.status != SUCCESS)))[0]
+    if bad.size == 0:
+        return res
+    size = 1 << int(bad.size - 1).bit_length()  # pad bucket
+    idx = np.pad(bad, (0, size - bad.size), mode="edge")
+    sub = jax.tree.map(lambda x: x[idx], pbs)
+    sub_res = _rescue_subbatch(sub, opt)
+    take = bad.size
+    upd = lambda full, part: full.at[bad].set(part[:take])  # noqa: E731
+    return GIResult(
+        x=upd(res.x, sub_res.x.astype(res.x.dtype)),
+        multipliers=upd(res.multipliers,
+                        sub_res.multipliers.astype(res.multipliers.dtype)),
+        f=upd(res.f, sub_res.f.astype(res.f.dtype)),
+        iterations=upd(res.iterations, res.iterations[bad]
+                       + sub_res.iterations[:take]),
+        status=upd(res.status, sub_res.status),
+        active_set=upd(res.active_set, sub_res.active_set),
+    )

@@ -54,7 +54,11 @@ def random_qp_batch(
         cx = C @ x0
         off_l = jax.random.uniform(k5, (m,), dtype, 0.01, 1.0)
         off_u = jax.random.uniform(k6, (m,), dtype, 0.01, 1.0)
-        tight = jnp.arange(m) < int(act_frac * m)
+        # act_frac is a fraction of min(n, m), matching the reference's
+        # benchmark fixtures (benchmarks/Solvers.cpp:353 applies the active
+        # fraction to min(nVar, nIneq)): more than n constraints active at
+        # the solution would be degenerate by construction.
+        tight = jnp.arange(m) < int(act_frac * min(n, m))
         # tight rows: l barely below C x0 (often active at the GI solution,
         # which pulls toward the unconstrained optimum)
         l = cx - jnp.where(tight, 0.0, off_l * 3.0)

@@ -115,3 +115,84 @@ def test_warm_start_overconstrained():
     )
     warm = jit_warm(pb, jnp.zeros(5 + n, jnp.int32), SolverOptions(warm_start=True))
     assert int(warm.status) == int(TerminationStatus.OVERCONSTRAINED_PROBLEM)
+
+
+def test_carry_warm_start_trajectory():
+    """Operator-reuse warm start (WarmCarry): on a drifting-bounds
+    trajectory with fixed G/C, the carried-operator solve must match the
+    cold solve exactly and converge in ~0 iterations
+    (ref workload: benchmarks/SolversWarmStart.cpp:218-276)."""
+    import dataclasses
+
+    from jrlqp_tpu.solver.fast import (
+        solve_refined_pallas,
+        solve_refined_pallas_carry,
+    )
+    from jrlqp_tpu.testing.batch_gen import random_qp_batch
+    from jrlqp_tpu.testing.kkt import kkt_residual
+
+    opt = SolverOptions(max_iter=100)
+    B, n, m = 6, 9, 16
+    base = random_qp_batch(jax.random.key(3), B, n, m, act_frac=0.4)
+    res, carry = solve_refined_pallas_carry(base, None, opt, interpret=True)
+    assert np.all(np.asarray(res.status) == 0)
+    key = jax.random.key(4)
+    kr = jax.vmap(kkt_residual)
+    warm_its = []
+    for _ in range(4):
+        key, k2 = jax.random.split(key)
+        d = 0.02 * jax.random.normal(k2, (B, m), base.l.dtype)
+        pbs = dataclasses.replace(base, l=base.l + d, u=base.u + d)
+        res_w, carry = solve_refined_pallas_carry(pbs, carry, opt,
+                                                  interpret=True)
+        res_c = solve_refined_pallas(pbs, opt, interpret=True)
+        assert np.all(np.asarray(res_w.status) == 0)
+        np.testing.assert_allclose(np.asarray(res_w.x),
+                                   np.asarray(res_c.x), atol=1e-9)
+        assert float(jnp.max(kr(res_w.x, res_w.multipliers, pbs))) <= 1e-8
+        warm_its.append(np.asarray(res_w.iterations))
+    # near-zero warm iterations on small drifts
+    assert float(np.mean(np.concatenate(warm_its))) <= 2.0
+
+
+def test_warm_start_statistical_50k():
+    """Reference-scale statistical warm-start test
+    (ref: GoldfarbIdnaniSolverTest.cpp:127-219 -- 10,000 x 5 solves,
+    < 0.1% failures): warm-starting from the cold solve's exact active set
+    must give 0 iterations and the same solution. Runs the 50k solves as 5
+    vmapped 10k batches (TPU-style execution; seconds, not hours)."""
+    from jrlqp_tpu.solver.dense import solve_batch
+    from jrlqp_tpu.testing.batch_gen import random_qp_batch
+
+    B, n, m = 10_000, 5, 8
+    opt_c = SolverOptions(max_iter=60)
+    opt_w = SolverOptions(max_iter=60, warm_start=True)
+    solve_warm_b = jax.jit(jax.vmap(lambda p, h: solve_warm(p, h, opt_w)),
+                           static_argnames=())
+
+    configs = [
+        dict(act_frac=0.2),
+        dict(act_frac=0.5),
+        dict(act_frac=0.3, double_sided=False),
+        dict(act_frac=0.3, bounds=True),
+        dict(act_frac=0.5, bounds=True),
+    ]
+    n_total = 0
+    n_failed = 0
+    for i, cfg in enumerate(configs):
+        pbs = random_qp_batch(jax.random.key(100 + i), B, n, m, **cfg)
+        if i == 1:
+            # fold in equalities: tight row 0 becomes l == u
+            import dataclasses
+            pbs = dataclasses.replace(pbs, u=pbs.u.at[:, 0].set(pbs.l[:, 0]))
+        cold = solve_batch(pbs, opt_c)
+        ok_cold = np.asarray(cold.status) == 0
+        assert ok_cold.mean() > 0.999, ok_cold.mean()
+        warm = solve_warm_b(pbs, cold.active_set)
+        same_x = np.max(np.abs(np.asarray(warm.x - cold.x)), axis=1) <= 1e-6
+        zero_it = np.asarray(warm.iterations) == 0
+        ok = (np.asarray(warm.status) == 0) & same_x & zero_it & ok_cold
+        n_total += B
+        n_failed += int(B - ok.sum())
+    # the reference tolerates < 0.1% (known numeric fragility)
+    assert n_failed <= n_total * 0.001, (n_failed, n_total)
