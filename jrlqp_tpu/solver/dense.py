@@ -52,18 +52,21 @@ from .state import GIResult, GIState, initial_state
 __all__ = ["solve", "solve_batch", "init_state", "gi_iteration", "finalize"]
 
 
-def _select_violated(pb: QPProblem, x: jax.Array, status: jax.Array):
+def _select_violated(pb: QPProblem, x: jax.Array, status: jax.Array,
+                     cx: jax.Array | None = None):
     """Most-violated inactive constraint scan (ref: :84-134).
 
     Returns (index into [0, m+n), ActivationStatus, violation). The
     violation is negative iff a constraint is violated; argmin's
     first-occurrence tie-breaking reproduces the reference's sequential
-    strict `<` scan (general constraints first, then bounds).
-    """
+    strict `<` scan (general constraints first, then bounds). ``cx`` lets a
+    structured caller supply C@x computed blockwise (ref: BlockGISolver
+    precomputes it via StructuredC::transposeMult, BlockGISolver.cpp:117)."""
     m = pb.m
     n = pb.n
     inf = jnp.asarray(jnp.inf, x.dtype)
-    cx = pb.C @ x
+    if cx is None:
+        cx = pb.C @ x
     sl = cx - pb.l
     su = pb.u - cx
     act_c = status[:m] != INACTIVE
@@ -206,19 +209,27 @@ def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def gi_iteration(pb: QPProblem, state: GIState, opt: SolverOptions) -> GIState:
+def gi_iteration(pb: QPProblem, state: GIState, opt: SolverOptions,
+                 select_fn=None, step_fn=None) -> GIState:
     """One pass of the GI dual iteration (ref: DualSolver.cpp:103-166).
 
     Handles selection (step 1), step computation/length (step 2), and the
     three outcomes -- full step (activate), partial step (deactivate and
     keep the candidate), dual-only step (deactivate) -- with per-lane masks
     so a vmapped batch can take different branches in one trace.
+
+    ``select_fn`` / ``step_fn`` override the selection and step-direction
+    hooks -- the functional analog of the reference's DualSolver virtual
+    hooks (ref: include/jrl-qp/DualSolver.h:101-121); the structured solver
+    passes block-sparsity-exploiting versions (see structured/solver.py).
     """
     n, m = pb.n, pb.m
     big = opt.big_bnd
+    _select = select_fn or _select_violated
+    _step = step_fn or _compute_step
 
     # ---- Step 1: selection (unless a partial step is in progress) ----
-    sel_idx, sel_st, viol = _select_violated(pb, state.x, state.status)
+    sel_idx, sel_st, viol = _select(pb, state.x, state.status)
     do_select = ~state.skip1
     found = viol < 0
     success = do_select & ~found
@@ -233,7 +244,7 @@ def gi_iteration(pb: QPProblem, state: GIState, opt: SolverOptions) -> GIState:
     )
 
     # ---- Step 2: direction and step length ----
-    nplus, d, z, r = _compute_step(pb, st1.J, st1.R, st1.q, st1.sc_idx, st1.sc_status)
+    nplus, d, z, r = _step(pb, st1.J, st1.R, st1.q, st1.sc_idx, st1.sc_status)
     t1, t2, l, nz = _step_length(pb, st1, opt, nplus, z, r, st1.u)
     t = jnp.minimum(t1, t2)
 
@@ -282,12 +293,14 @@ def gi_iteration(pb: QPProblem, state: GIState, opt: SolverOptions) -> GIState:
     return _tree_where(state.term == RUNNING, out, state)
 
 
-def _add_initial_constraint(pb, state: GIState, idx, st, opt) -> GIState:
+def _add_initial_constraint(pb, state: GIState, idx, st, opt,
+                            step_fn=None) -> GIState:
     """Replay of addInitialConstraint (ref: :295-338): full step onto an
     equality/fixed-variable constraint, then activate it."""
     n = pb.n
     u = state.u.at[jnp.clip(state.q, 0, n)].set(0.0)
-    nplus, d, z, r = _compute_step(pb, state.J, state.R, state.q, idx, st)
+    _step = step_fn or _compute_step
+    nplus, d, z, r = _step(pb, state.J, state.R, state.q, idx, st)
     znorm = jnp.linalg.norm(z)
     nz = jnp.dot(nplus, z)
     nx = jnp.dot(nplus, state.x)
@@ -371,7 +384,8 @@ def init_state(pb: QPProblem, opt: SolverOptions) -> GIState:
     )
 
 
-def run_loop(pb: QPProblem, state: GIState, opt: SolverOptions) -> GIState:
+def run_loop(pb: QPProblem, state: GIState, opt: SolverOptions,
+             select_fn=None, step_fn=None) -> GIState:
     """Iterate until termination or max_iter (ref: DualSolver.cpp:103-167)."""
     max_iter = jnp.asarray(opt.max_iter, jnp.int32)
 
@@ -379,7 +393,7 @@ def run_loop(pb: QPProblem, state: GIState, opt: SolverOptions) -> GIState:
         return (st.term == RUNNING) & (st.it < max_iter)
 
     def body(st):
-        return gi_iteration(pb, st, opt)
+        return gi_iteration(pb, st, opt, select_fn=select_fn, step_fn=step_fn)
 
     state = jax.lax.while_loop(cond, body, state)
     term = jnp.where(state.term == RUNNING, MAX_ITER_REACHED, state.term)

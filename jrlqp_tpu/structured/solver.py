@@ -56,8 +56,65 @@ def structured_qp_problem(
     return QPProblem(G=sg.to_dense(), a=a, C=C, l=l, u=u, xl=xl, xu=xu)
 
 
+def structured_hooks(sc: StructuredC):
+    """Block-sparsity-exploiting selection/step hooks for the GI loop.
+
+    TPU analog of the reference's per-iteration structure exploitation
+    (ref: src/experimental/BlockGISolver.cpp:117-118 block-wise C^T x in the
+    selection, src/structured/StructuredJ.cpp:43-57 zero-skipping d = J^T n+
+    via SingleNZSegmentVector): the selected constraint's normal is nonzero
+    on a single s-wide variable block, so
+
+    - selection computes C@x via (nb, mc, s) block matvecs: O(m s), not O(m n)
+    - d = J^T n+ touches only s rows of J (dynamic slice + (s,n) matvec):
+      O(n s), not O(n^2)
+
+    Bounds are a 1-hot segment inside their variable block (the reference's
+    [0; v; 0] SingleNZSegmentVector, include/jrl-qp/internal/
+    SingleNZSegmentVector.h:10-61). Returns ``(select_fn, step_fn)`` for
+    :func:`jrlqp_tpu.solver.dense.gi_iteration`.
+    """
+    from ..solver.dense import _select_violated
+    from ..ops.linalg import tri_solve_masked
+    from ..types import LOWER_BOUND, UPPER, UPPER_BOUND
+
+    nb, mc, s = sc.blocks.shape
+
+    def select_fn(pb, x, status):
+        return _select_violated(pb, x, status, cx=sc.transpose_mult(x))
+
+    def step_fn(pb, J, R, q, idx, st):
+        n, m = pb.n, pb.m
+        dtype = J.dtype
+        sign = jnp.where((st == UPPER) | (st == UPPER_BOUND), -1.0, 1.0).astype(dtype)
+        is_bnd = st >= LOWER_BOUND
+        # general constraint: row (idx % mc) of block (idx // mc)
+        gi = jnp.clip(idx, 0, m - 1)
+        blk_g = gi // mc
+        seg_g = sc.blocks[blk_g, gi % mc]
+        # bound: one-hot at position (idx-m) % s of block (idx-m) // s
+        bi = jnp.clip(idx - m, 0, n - 1)
+        blk_b = bi // s
+        seg_b = (jnp.arange(s) == bi % s).astype(dtype)
+        blk = jnp.where(is_bnd, blk_b, blk_g)
+        seg = sign * jnp.where(is_bnd, seg_b, seg_g)
+        start = blk * s
+        # d = J^T n+ touches only the segment's s rows of J
+        Jrows = jax.lax.dynamic_slice(J, (start, jnp.zeros((), start.dtype)),
+                                      (s, n))
+        d = Jrows.T @ seg
+        nplus = jax.lax.dynamic_update_slice(jnp.zeros((n,), dtype), seg,
+                                             (start,))
+        k = jnp.arange(n)
+        z = J @ jnp.where(k >= q, d, 0.0)
+        r = tri_solve_masked(R, d, q)
+        return nplus, d, z, r
+
+    return select_fn, step_fn
+
+
 def init_state_structured(
-    sg: StructuredG, pb: QPProblem, opt: SolverOptions
+    sg: StructuredG, pb: QPProblem, opt: SolverOptions, step_fn=None
 ) -> GIState:
     """Cold init using the structured factorization
     (ref: BlockGISolver::init_ :62-107): blocked LLT, x = -G^{-1} a via
@@ -104,7 +161,8 @@ def init_state_structured(
     def body(carry):
         kk, st = carry
         idx = perm[kk]
-        st = _add_initial_constraint(pb, st, idx, stats[idx], opt)
+        st = _add_initial_constraint(pb, st, idx, stats[idx], opt,
+                                     step_fn=step_fn)
         return kk + 1, st
 
     _, state = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state))
@@ -131,10 +189,20 @@ def solve_structured(
 ) -> GIResult:
     """Solve min 0.5 x'Gx + a'x s.t. l <= Cx <= u, xl <= x <= xu with G a
     StructuredG (tri-block-diagonal or block-arrow) and C optionally
-    block-diagonal (ref: BlockGISolver::solve :17-60). Jitted by default."""
+    block-diagonal (ref: BlockGISolver::solve :17-60). Jitted by default.
+
+    When C is a StructuredC, every iteration exploits its block sparsity:
+    selection computes C@x blockwise and d = J^T n+ touches only the
+    selected constraint's s-row block of J (see :func:`structured_hooks`),
+    matching the reference's per-iteration zero-skipping
+    (ref: src/structured/StructuredJ.cpp:43-57)."""
     pb = structured_qp_problem(sg, a, sc, l, u, xl, xu)
-    state = init_state_structured(sg, pb, opt)
-    state = run_loop(pb, state, opt)
+    if isinstance(sc, StructuredC):
+        select_fn, step_fn = structured_hooks(sc)
+    else:
+        select_fn = step_fn = None
+    state = init_state_structured(sg, pb, opt, step_fn=step_fn)
+    state = run_loop(pb, state, opt, select_fn=select_fn, step_fn=step_fn)
     return finalize(pb, state)
 
 
