@@ -167,7 +167,7 @@ def bench_warm_start_trajectory(
     after warmup -- identical structure for warm and cold, so the per-step
     dispatch overhead cancels in the ratio.
     """
-    opt = SolverOptions(max_iter=100)
+    opt = SolverOptions(max_iter=100, warm_start=True)
     base = random_qp_batch(jax.random.key(seed), batch, n, m, act_frac=0.4)
     key = jax.random.key(seed + 1)
     # per-step bound drifts, precomputed: (steps, batch, m)

@@ -51,7 +51,8 @@ def solve_mixed(pb: QPProblem, opt: SolverOptions = SolverOptions()) -> GIResult
     res32 = _solve_impl(pb32, opt32)
 
     pb64 = pb.with_dtype(jnp.float64)
-    res64 = _solve_warm_impl(pb64, res32.active_set, opt.with_(dtype=jnp.float64))
+    res64 = _solve_warm_impl(
+        pb64, res32.active_set, opt.with_(dtype=jnp.float64, warm_start=True))
     return GIResult(
         x=res64.x,
         multipliers=res64.multipliers,

@@ -58,11 +58,15 @@ def _process_initial_active_set(pb: QPProblem, as_hint: jax.Array, opt: SolverOp
     m, n = pb.m, pb.n
     mt = m + n
     big = opt.big_bnd
+    # Hints are only honored when warm start is enabled (ref :321, :348:
+    # `!pb_.as.empty() && options_.warmStart_`); problem equalities always
+    # activate.
+    use_hint = bool(opt.warm_start)
 
     # --- bounds pass (hint slots m..m+n-1) ---
     hb = as_hint[m:]
     fixed = pb.xl == pb.xu
-    hb_valid = (
+    hb_valid = use_hint & (
         ((hb == LOWER_BOUND) & (pb.xl >= -big))
         | ((hb == UPPER_BOUND) & (pb.xu <= big))
     )
@@ -71,7 +75,9 @@ def _process_initial_active_set(pb: QPProblem, as_hint: jax.Array, opt: SolverOp
     # --- constraints pass (hint slots 0..m-1) ---
     hc = as_hint[:m]
     eq = pb.l == pb.u
-    hc_valid = ((hc == LOWER) & (pb.l >= -big)) | ((hc == UPPER) & (pb.u <= big))
+    hc_valid = use_hint & (
+        ((hc == LOWER) & (pb.l >= -big)) | ((hc == UPPER) & (pb.u <= big))
+    )
     st_c = jnp.where(eq, EQUALITY, jnp.where(hc_valid, hc, INACTIVE)).astype(jnp.int32)
 
     status = jnp.concatenate([st_c, st_b])
@@ -84,15 +90,16 @@ def _process_initial_active_set(pb: QPProblem, as_hint: jax.Array, opt: SolverOp
     n_hard = jnp.sum(hard).astype(jnp.int32)
     over = n_hard > n
 
-    # overflow: deactivate removable (non-equality) actives from the back
+    # Overflow: deactivate removable (non-equality/fixed) actives working
+    # BACKWARD from the last-activated (ref :369-390). Bounds activate
+    # before constraints, so high-index general constraints drop first.
     excess = jnp.maximum(n_act - n, 0)
     removable = act & ~hard
-    # sort removable by priority descending; the first `excess` get dropped
-    key = jnp.where(removable, -prio, jnp.iinfo(jnp.int32).min + 1)
-    drop_order = jnp.argsort(key)[::-1].astype(jnp.int32)  # removable first? see below
-    # argsort ascending on -prio puts the largest prio first among removable;
-    # non-removable entries (key = INT_MIN+1) sort to the front, so flip:
-    # we instead sort descending on key: removable with largest prio first.
+    # ascending argsort on -prio puts the removable entry with the LARGEST
+    # activation priority (= last activated) first; non-removable entries
+    # get +INT_MAX so they sort past every removable one.
+    key = jnp.where(removable, -prio, jnp.iinfo(jnp.int32).max)
+    drop_order = jnp.argsort(key).astype(jnp.int32)
     dropped = jnp.arange(mt) < excess
     status = status.at[drop_order].set(
         jnp.where(dropped, INACTIVE, status[drop_order])

@@ -25,7 +25,7 @@ def _one(pbs, i):
 
 def test_fast_warm_exact_hint_zero_iterations():
     pbs = random_qp_batch(jax.random.key(0), 6, 10, 16, act_frac=0.4)
-    opt = SolverOptions(max_iter=80)
+    opt = SolverOptions(max_iter=80, warm_start=True)
     cold = jax.vmap(lambda p: solve_fast(p, opt))(pbs)
     warm = jax.vmap(lambda p, h: solve_fast_warm(p, h, opt))(
         pbs, cold.active_set)
@@ -40,7 +40,7 @@ def test_fast_warm_exact_hint_zero_iterations():
 
 def test_fast_warm_matches_jr_warm_solver():
     pbs = random_qp_batch(jax.random.key(2), 4, 9, 14, act_frac=0.3)
-    opt = SolverOptions(max_iter=80)
+    opt = SolverOptions(max_iter=80, warm_start=True)
     cold = jax.vmap(lambda p: solve_fast(p, opt))(pbs)
     for i in range(4):
         pb = _one(pbs, i)
@@ -53,7 +53,7 @@ def test_fast_warm_matches_jr_warm_solver():
 
 def test_fast_warm_rubbish_hint_still_converges():
     pbs = random_qp_batch(jax.random.key(5), 6, 10, 16, act_frac=0.4)
-    opt = SolverOptions(max_iter=120)
+    opt = SolverOptions(max_iter=120, warm_start=True)
     cold = jax.vmap(lambda p: solve_fast(p, opt))(pbs)
     # perturb: clear half the hints, flip one bound hint on
     hint = cold.active_set.at[:, ::2].set(0)
@@ -65,7 +65,7 @@ def test_fast_warm_rubbish_hint_still_converges():
 
 def test_refined_warm_pallas_interpret():
     pbs = random_qp_batch(jax.random.key(7), 5, 8, 12, act_frac=0.4)
-    opt = SolverOptions(max_iter=60)
+    opt = SolverOptions(max_iter=60, warm_start=True)
     cold = jax.vmap(lambda p: solve_fast(p, opt))(pbs)
     res = solve_refined_warm_pallas(pbs, cold.active_set, opt,
                                     interpret=True)

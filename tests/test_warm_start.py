@@ -117,6 +117,121 @@ def test_warm_start_overconstrained():
     assert int(warm.status) == int(TerminationStatus.OVERCONSTRAINED_PROBLEM)
 
 
+def test_warm_start_soft_overflow_drop_order():
+    """When more than n hints are active (but hard constraints still fit),
+    removable hints are deactivated working BACKWARD from the activation
+    order: bounds activate first, so high-index general constraints drop
+    first (ref :369-390). With 4 constraint + 3 bound hints at n=3, the 3
+    bounds must survive and all 4 general constraints must drop."""
+    from jrlqp_tpu.solver.warm_start import _process_initial_active_set
+    from jrlqp_tpu.types import INACTIVE, LOWER, LOWER_BOUND
+
+    n, m = 3, 4
+    rng = np.random.default_rng(7)
+    pb = QPProblem(
+        G=jnp.eye(n), a=jnp.zeros(n),
+        C=jnp.asarray(rng.standard_normal((m, n))),
+        l=jnp.full(m, -1.0), u=jnp.full(m, 1.0),
+        xl=jnp.full(n, -1.0), xu=jnp.full(n, 1.0),
+    )
+    hint = jnp.concatenate([
+        jnp.full(m, LOWER, jnp.int32), jnp.full(n, LOWER_BOUND, jnp.int32)])
+    status, aorder, q, over = jax.jit(
+        _process_initial_active_set, static_argnames=("opt",)
+    )(pb, hint, SolverOptions(warm_start=True))
+    assert not bool(over)
+    assert int(q) == n
+    st = np.asarray(status)
+    # all general constraints dropped, all bounds kept
+    assert (st[:m] == INACTIVE).all(), st
+    assert (st[m:] == LOWER_BOUND).all(), st
+    # activation order: the three bounds, by index
+    assert np.asarray(aorder).tolist() == [m + 0, m + 1, m + 2]
+
+
+def test_warm_start_soft_overflow_partial_constraint_drop():
+    """excess=1 with 2 constraint + 2 bound hints at n=3: the last-activated
+    removable (the higher-index general constraint) drops; the lower-index
+    one and both bounds survive (ref :381-389)."""
+    from jrlqp_tpu.solver.warm_start import _process_initial_active_set
+    from jrlqp_tpu.types import INACTIVE, LOWER, LOWER_BOUND
+
+    n, m = 3, 4
+    rng = np.random.default_rng(8)
+    pb = QPProblem(
+        G=jnp.eye(n), a=jnp.zeros(n),
+        C=jnp.asarray(rng.standard_normal((m, n))),
+        l=jnp.full(m, -1.0), u=jnp.full(m, 1.0),
+        xl=jnp.full(n, -1.0), xu=jnp.full(n, 1.0),
+    )
+    hint = jnp.zeros(m + n, jnp.int32)
+    hint = hint.at[0].set(LOWER).at[2].set(LOWER)          # constraints 0, 2
+    hint = hint.at[m + 0].set(LOWER_BOUND).at[m + 2].set(LOWER_BOUND)
+    status, aorder, q, over = jax.jit(
+        _process_initial_active_set, static_argnames=("opt",)
+    )(pb, hint, SolverOptions(warm_start=True))
+    assert not bool(over)
+    assert int(q) == n
+    st = np.asarray(status)
+    assert st[0] == LOWER and st[2] == INACTIVE            # cstr 2 dropped
+    assert st[m + 0] == LOWER_BOUND and st[m + 2] == LOWER_BOUND
+    assert np.asarray(aorder).tolist() == [m + 0, m + 2, 0]
+
+
+def test_warm_start_overflow_never_drops_equalities():
+    """Equalities/fixed variables are skipped by the backward deactivation
+    sweep (ref isEqualityOrFixed, :374-379)."""
+    from jrlqp_tpu.solver.warm_start import _process_initial_active_set
+    from jrlqp_tpu.types import EQUALITY, INACTIVE, LOWER_BOUND
+
+    n, m = 3, 2
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.standard_normal(m))
+    pb = QPProblem(
+        G=jnp.eye(n), a=jnp.zeros(n),
+        C=jnp.asarray(rng.standard_normal((m, n))),
+        l=b, u=b,                                           # both equalities
+        xl=jnp.full(n, -1.0), xu=jnp.full(n, 1.0),
+    )
+    hint = jnp.concatenate([
+        jnp.zeros(m, jnp.int32), jnp.full(n, LOWER_BOUND, jnp.int32)])
+    status, aorder, q, over = jax.jit(
+        _process_initial_active_set, static_argnames=("opt",)
+    )(pb, hint, SolverOptions(warm_start=True))
+    assert not bool(over)
+    assert int(q) == n
+    st = np.asarray(status)
+    assert (st[:m] == EQUALITY).all()
+    # last two bounds dropped (worked backward), bound 0 survives
+    assert st[m + 0] == LOWER_BOUND
+    assert st[m + 1] == INACTIVE and st[m + 2] == INACTIVE
+
+
+def test_warm_start_hint_gated_on_option():
+    """With warm_start=False the hint is ignored (ref :321, :348):
+    equalities still auto-activate, everything else starts inactive."""
+    from jrlqp_tpu.solver.warm_start import _process_initial_active_set
+    from jrlqp_tpu.types import EQUALITY, INACTIVE, LOWER
+
+    n, m = 3, 4
+    rng = np.random.default_rng(10)
+    C = jnp.asarray(rng.standard_normal((m, n)))
+    l = jnp.full(m, -1.0).at[1].set(0.5)
+    u = jnp.full(m, 1.0).at[1].set(0.5)                     # row 1 equality
+    pb = QPProblem(
+        G=jnp.eye(n), a=jnp.zeros(n), C=C, l=l, u=u,
+        xl=jnp.full(n, -1.0), xu=jnp.full(n, 1.0),
+    )
+    hint = jnp.zeros(m + n, jnp.int32).at[0].set(LOWER).at[m + 1].set(4)
+    status, _, q, _ = jax.jit(
+        _process_initial_active_set, static_argnames=("opt",)
+    )(pb, hint, SolverOptions(warm_start=False))
+    st = np.asarray(status)
+    assert int(q) == 1
+    assert st[1] == EQUALITY
+    assert st[0] == INACTIVE and st[m + 1] == INACTIVE
+
+
 def test_carry_warm_start_trajectory():
     """Operator-reuse warm start (WarmCarry): on a drifting-bounds
     trajectory with fixed G/C, the carried-operator solve must match the
