@@ -24,6 +24,7 @@ from jrlqp_tpu.bench import (
     bench_box_single,
     bench_decompositions,
     bench_size_sweep,
+    bench_structured_ik,
     bench_warm_start_trajectory,
 )
 
@@ -33,7 +34,7 @@ def main():
     ap.add_argument("--out", default="benchmarks/out")
     ap.add_argument("--solver", default="f64", choices=["f64", "mixed", "refined", "pallas"])
     ap.add_argument("--suite", default="all",
-                    choices=["all", "size", "active", "warm", "decomp", "box"])
+                    choices=["all", "size", "active", "warm", "decomp", "box", "ik"])
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -73,6 +74,13 @@ def main():
         for r in rows:
             print(json.dumps(r))
         with open(os.path.join(args.out, "decomposition.json"), "w") as fh:
+            json.dump(rows, fh, indent=2)
+
+    if args.suite in ("all", "ik"):
+        rows = bench_structured_ik(batch=min(args.batch, 16))
+        for r in rows:
+            print(json.dumps(r))
+        with open(os.path.join(args.out, "structured_ik.json"), "w") as fh:
             json.dump(rows, fh, indent=2)
 
 

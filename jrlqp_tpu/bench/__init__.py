@@ -4,6 +4,7 @@ from .harness import (
     bench_active_sweep,
     bench_decompositions,
     bench_size_sweep,
+    bench_structured_ik,
     bench_warm_start_trajectory,
     bench_box_single,
     time_batch,
@@ -13,7 +14,9 @@ __all__ = [
     "BenchResult",
     "bench_active_sweep",
     "bench_decompositions",
+    "bench_box_single",
     "bench_size_sweep",
+    "bench_structured_ik",
     "bench_warm_start_trajectory",
     "time_batch",
 ]

@@ -32,6 +32,7 @@ __all__ = [
     "bench_active_sweep",
     "bench_warm_start_trajectory",
     "bench_decompositions",
+    "bench_structured_ik",
 ]
 
 
@@ -298,11 +299,28 @@ def bench_box_single(
 
 
 def bench_decompositions(
-    nb: int = 9, s: int = 48, batch: int = 16, seed: int = 0
+    nb: int = 9, s: int = 48, batch: int = 16, seed: int = 0,
+    interpret: bool = False,
 ) -> list[dict]:
     """Structured vs dense Cholesky timings (ref: benchmarks/Decomposition.cpp
-    and the IK timing harness in tests/BlockGISolverTest.in.cpp:251-268)."""
-    from ..structured.blocks import block_arrow_llt, tri_block_diag_llt, tri_block_to_dense
+    and the IK timing harness in tests/BlockGISolverTest.in.cpp:251-268).
+
+    Measures the XLA-composed blocked LLT chains, the fused Pallas kernels
+    (factor + per-block inverses in one launch; fused forward+backward
+    multi-rhs solve in another -- the loops the reference marks [OPTIM]
+    parallelizable, src/decomposition/blockArrowLLT.cpp:118-120,217), and
+    dense Cholesky in both f64 and f32 for reference. Rows carry
+    ``speedup_vs_dense`` relative to the same-precision dense factor."""
+    from ..ops.pallas.block_llt import (
+        block_arrow_llt_pallas,
+        tri_block_llt_pallas,
+        tri_block_solve_pallas,
+    )
+    from ..structured.blocks import (
+        block_arrow_llt,
+        tri_block_diag_llt,
+        tri_block_to_dense,
+    )
 
     rng = np.random.default_rng(seed)
     diag = np.zeros((batch, nb, s, s))
@@ -313,21 +331,135 @@ def bench_decompositions(
             diag[b, i] = A @ A.T + nb * s * np.eye(s)
     diag = jnp.asarray(diag)
     off = jnp.asarray(off)
+    diag32 = diag.astype(jnp.float32)
+    off32 = off.astype(jnp.float32)
 
     tri = jax.jit(jax.vmap(tri_block_diag_llt))
     arrow = jax.jit(jax.vmap(lambda d, o: block_arrow_llt(d, o)))
     dense_in = jax.vmap(tri_block_to_dense)(diag, off)
+    dense_in32 = dense_in.astype(jnp.float32)
     dense = jax.jit(jax.vmap(jnp.linalg.cholesky))
+
+    tri_p = lambda d, o: tri_block_llt_pallas(d, o, interpret=interpret)  # noqa: E731
+    arrow_p = lambda d, o: block_arrow_llt_pallas(  # noqa: E731
+        d, o, interpret=interpret)
+    # fused factor + identity solve = everything a solver init needs
+    n = nb * s
+    eye_b = jnp.broadcast_to(
+        jnp.eye(n, dtype=jnp.float32).reshape(1, nb, s, n),
+        (batch, nb, s, n))
+
+    def tri_p_full(d, o):
+        Ld, Lo, Li = tri_block_llt_pallas(d, o, interpret=interpret)
+        return tri_block_solve_pallas(Lo, Li, eye_b, interpret=interpret)
 
     jax.block_until_ready(tri(diag, off))
     jax.block_until_ready(arrow(diag, off))
     jax.block_until_ready(dense(dense_in))
+    jax.block_until_ready(dense(dense_in32))
+    jax.block_until_ready(tri_p(diag32, off32))
+    jax.block_until_ready(arrow_p(diag32, off32))
+    jax.block_until_ready(tri_p_full(diag32, off32))
     t_tri = _timeit(lambda: tri(diag, off))
     t_arrow = _timeit(lambda: arrow(diag, off))
     t_dense = _timeit(lambda: dense(dense_in))
-    n = nb * s
+    t_dense32 = _timeit(lambda: dense(dense_in32))
+    t_tri_p = _timeit(lambda: tri_p(diag32, off32))
+    t_arrow_p = _timeit(lambda: arrow_p(diag32, off32))
+    t_tri_pf = _timeit(lambda: tri_p_full(diag32, off32))
+
+    def row(name, t, t_ref=None):
+        r = dict(name=name, ms=t / batch * 1e3)
+        if t_ref is not None:
+            r["speedup_vs_dense"] = t_ref / t
+        return r
+
     return [
-        dict(name=f"llt/tri_block/nb={nb}/s={s}", ms=t_tri / batch * 1e3),
-        dict(name=f"llt/block_arrow/nb={nb}/s={s}", ms=t_arrow / batch * 1e3),
-        dict(name=f"llt/dense/n={n}", ms=t_dense / batch * 1e3),
+        row(f"llt/tri_block/nb={nb}/s={s}", t_tri, t_dense),
+        row(f"llt/block_arrow/nb={nb}/s={s}", t_arrow, t_dense),
+        row(f"llt/dense/n={n}", t_dense),
+        row(f"llt/dense_f32/n={n}", t_dense32),
+        row(f"llt/tri_block_pallas/nb={nb}/s={s}", t_tri_p, t_dense32),
+        row(f"llt/block_arrow_pallas/nb={nb}/s={s}", t_arrow_p, t_dense32),
+        row(f"llt+inv/tri_block_pallas_fused/nb={nb}/s={s}", t_tri_pf,
+            t_dense32),
     ]
+
+
+def bench_structured_ik(
+    nb: int = 9, s: int = 43, mc: int = 4, batch: int = 16, seed: int = 0,
+    interpret: bool = False,
+) -> list[dict]:
+    """Batched IK-shaped workload end-to-end through the structured fast
+    path (ref workload: tests/BlockGISolverTest.in.cpp:172-271 'Sequential
+    IK', 9 robots x 43 dof, inline timing at :251-268). Solves a batch of
+    tri-block-diagonal QPs with block-diagonal constraints via
+    solve_structured_fast (Pallas init vs XLA init) and the dense fast
+    engine, reporting ms/solve and cross-engine agreement."""
+    import dataclasses as _dc
+
+    from ..structured.containers import GType, StructuredC, StructuredG
+    from ..structured.solver import (
+        solve_structured_fast,
+        structured_qp_problem,
+    )
+    from ..solver.fast import solve_refined
+
+    rng = np.random.default_rng(seed)
+    n, m = nb * s, nb * mc
+    diag = np.zeros((batch, nb, s, s))
+    off = rng.standard_normal((batch, nb - 1, s, s))
+    blocks = rng.standard_normal((batch, nb, mc, s))
+    a = rng.standard_normal((batch, n))
+    l_ = np.zeros((batch, m))
+    u_ = np.zeros((batch, m))
+    for b in range(batch):
+        for i in range(nb):
+            A = rng.standard_normal((s, s))
+            diag[b, i] = A @ A.T + nb * s * np.eye(s)
+        x0 = rng.uniform(-1, 1, n)
+        Cd = np.zeros((m, n))
+        for i in range(nb):
+            Cd[i * mc:(i + 1) * mc, i * s:(i + 1) * s] = blocks[b, i]
+        cx = Cd @ x0
+        l_[b] = cx - rng.uniform(0.0, 0.5, m)
+        u_[b] = cx + rng.uniform(0.0, 2.0, m)
+
+    sgs = StructuredG(diag=jnp.asarray(diag), off=jnp.asarray(off),
+                      gtype=int(GType.TRI_BLOCK_DIAGONAL))
+    scs = StructuredC(blocks=jnp.asarray(blocks))
+    a_b, l_b, u_b = jnp.asarray(a), jnp.asarray(l_), jnp.asarray(u_)
+    opt = SolverOptions(max_iter=200)
+
+    def batched(backend):
+        return jax.jit(jax.vmap(
+            lambda sg, av, sc, lv, uv: solve_structured_fast(
+                sg, av, sc, lv, uv, opt=opt, backend=backend,
+                interpret=interpret)))
+
+    f_pallas = batched("pallas")
+    f_xla = batched("xla")
+    pbs = jax.vmap(
+        lambda sg, av, sc, lv, uv: structured_qp_problem(sg, av, sc, lv, uv)
+    )(sgs, a_b, scs, l_b, u_b)
+    f_dense = jax.jit(jax.vmap(lambda p: solve_refined(p, opt)))
+
+    rows = []
+    ref_x = None
+    for name, fn, args in [
+        ("structured_fast_pallas", f_pallas, (sgs, a_b, scs, l_b, u_b)),
+        ("structured_fast_xla", f_xla, (sgs, a_b, scs, l_b, u_b)),
+        ("dense_fast", f_dense, (pbs,)),
+    ]:
+        res = fn(*args)
+        jax.block_until_ready(res.x)
+        t = _timeit(lambda: fn(*args))
+        ok = float(jnp.mean((res.status == 0).astype(jnp.float64)))
+        row = dict(name=f"ik/{name}/nb={nb}/s={s}", ms_per_solve=t / batch * 1e3,
+                   success_rate=ok)
+        if ref_x is None:
+            ref_x = res.x
+        else:
+            row["max_diff_vs_pallas"] = float(jnp.max(jnp.abs(res.x - ref_x)))
+        rows.append(row)
+    return rows

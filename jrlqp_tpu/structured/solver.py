@@ -30,7 +30,7 @@ from ..types import (
     OVERCONSTRAINED_PROBLEM,
     SolverOptions,
 )
-from .containers import StructuredC, StructuredG
+from .containers import GType, StructuredC, StructuredG
 
 __all__ = ["solve_structured", "solve_structured_fast",
            "structured_qp_problem"]
@@ -206,7 +206,46 @@ def solve_structured(
     return finalize(pb, state)
 
 
-@functools.partial(jax.jit, static_argnames=("opt", "ir_steps"))
+def _structured_inverse_pallas(sg32: StructuredG, interpret: bool):
+    """H = G^{-1} and a posdef estimate via the fused Pallas block-LLT
+    kernels (ops/pallas/block_llt.py; ref [OPTIM] anchors:
+    src/decomposition/blockArrowLLT.cpp:118-120,217). One kernel launch
+    factors the whole chain with per-block inverses, a second runs the
+    forward+backward multi-rhs solve on the identity -- every downstream
+    use of the factor is then a plain gemm against H."""
+    from ..ops.pallas.block_llt import (
+        block_arrow_llt_pallas,
+        block_arrow_solve_pallas,
+        tri_block_llt_pallas,
+        tri_block_solve_pallas,
+    )
+
+    f32 = jnp.float32
+    nb, s = sg32.nb, sg32.s
+    n = nb * s
+    diag = sg32.diag[None]
+    off = sg32.off[None]
+    eye_b = jnp.eye(n, dtype=f32).reshape(1, nb, s, n)
+    if sg32.gtype == GType.TRI_BLOCK_DIAGONAL:
+        Ld, Lo, Li = tri_block_llt_pallas(diag, off, interpret=interpret)
+        H = tri_block_solve_pallas(Lo, Li, eye_b, interpret=interpret)
+    else:
+        up = sg32.gtype == GType.BLOCK_ARROW_UP
+        Ld, Lo, Li = block_arrow_llt_pallas(diag, off, up=up,
+                                            interpret=interpret)
+        H = block_arrow_solve_pallas(Lo, Li, eye_b, up=up,
+                                     interpret=interpret)
+    H = H.reshape(n, n)
+    # The in-kernel Cholesky clamps pivots at 1e-30 instead of producing
+    # NaN, so a non-SPD (or f32-unfactorable) chain shows up as a collapsed
+    # factor diagonal: flag when min(diag L) < 1e-6 * max(diag L).
+    d = jnp.diagonal(Ld[0], axis1=-2, axis2=-1)
+    posdef = jnp.min(d) > 1e-6 * jnp.max(d)
+    return H, posdef
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "ir_steps", "backend",
+                                             "interpret"))
 def solve_structured_fast(
     sg: StructuredG,
     a: jax.Array,
@@ -217,13 +256,18 @@ def solve_structured_fast(
     xu: Optional[jax.Array] = None,
     opt: SolverOptions = SolverOptions(),
     ir_steps: int = 3,
+    backend: str = "auto",
+    interpret: bool = False,
 ) -> GIResult:
     """Structured problem through the explicit-operator throughput engine.
 
-    The blocked LLT replaces the dense O(n^3) Cholesky in the f32 init
-    (H = G^-1 built from the structured factor in O(n^2 s)); the active-set
-    loop and the f64-residual refinement are the dense fast engine.
-    vmap-compatible; differential-tested against :func:`solve_structured`.
+    The blocked LLT replaces the dense O(n^3) Cholesky in the f32 init:
+    ``backend="pallas"`` (the default on TPU via "auto") runs the whole
+    factorization chain + identity solve as two fused Pallas kernel
+    launches (see :mod:`jrlqp_tpu.ops.pallas.block_llt`); ``backend="xla"``
+    composes the same math from per-block XLA ops. The active-set loop and
+    the f64-residual refinement are the dense fast engine. vmap-compatible;
+    differential-tested against :func:`solve_structured`.
     """
     import dataclasses as _dc
 
@@ -234,6 +278,13 @@ def solve_structured_fast(
         fast_iteration,
     )
 
+    if backend == "auto":
+        # respect an explicitly pinned default device (e.g. tests pin CPU
+        # while the TPU plugin is still the highest-priority backend)
+        dflt = jax.config.jax_default_device
+        platform = dflt.platform if dflt is not None else jax.default_backend()
+        backend = "pallas" if platform == "tpu" else "xla"
+
     pb = structured_qp_problem(sg, a, sc, l, u, xl, xu)
     f32 = jnp.float32
     pb32 = pb.with_dtype(f32)
@@ -242,13 +293,17 @@ def solve_structured_fast(
         off=None if sg.off is None else sg.off.astype(f32))
     opt32 = opt.with_(dtype=f32, zero_z_threshold=1e-6)
 
-    fac = sg32.llt()
-    posdef = jnp.all(jnp.isfinite(fac.diag))
     n = pb.n
-    J0 = fac.inverse_transpose()                     # L^-T, O(n^2 s)
-    J0 = jnp.where(posdef, J0, jnp.eye(n, dtype=f32))
-    H = J0 @ J0.T                                    # G^-1
-    x = -fac.solve(pb32.a)
+    if backend == "pallas":
+        H, posdef = _structured_inverse_pallas(sg32, interpret)
+        H = jnp.where(posdef, H, jnp.eye(n, dtype=f32))
+    else:
+        fac = sg32.llt()
+        posdef = jnp.all(jnp.isfinite(fac.diag))
+        J0 = fac.inverse_transpose()                 # L^-T, O(n^2 s)
+        J0 = jnp.where(posdef, J0, jnp.eye(n, dtype=f32))
+        H = J0 @ J0.T                                # G^-1
+    x = -(H @ pb32.a)
     x = jnp.where(posdef, x, jnp.zeros_like(x))
     state = _init_fast_from_ops(pb32, H, x, posdef, opt32)
 

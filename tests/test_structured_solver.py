@@ -139,3 +139,81 @@ def test_structured_fast_matches_structured():
     assert int(rf.status) == int(r64.status) == 0
     np.testing.assert_allclose(np.asarray(rf.x), np.asarray(r64.x),
                                atol=1e-7)
+
+
+@pytest.mark.parametrize(
+    "gtype",
+    [GType.TRI_BLOCK_DIAGONAL, GType.BLOCK_ARROW_DOWN, GType.BLOCK_ARROW_UP],
+)
+def test_structured_fast_pallas_backend(gtype):
+    """The fused Pallas block-LLT init (backend="pallas", interpret on CPU)
+    must reproduce the XLA-composed structured fast solve and the f64
+    structured solver (ref parallelization targets:
+    src/decomposition/blockArrowLLT.cpp:118-120,217)."""
+    from jrlqp_tpu.structured.solver import (
+        solve_structured,
+        solve_structured_fast,
+    )
+
+    rng = np.random.default_rng(13 + int(gtype))
+    sg, a, sc, l, u = _rand_structured(rng, nb=4, s=6, mc=3, gtype=gtype)
+    r64 = solve_structured(sg, a, sc, l, u)
+    rp = solve_structured_fast(sg, a, sc, l, u, backend="pallas",
+                               interpret=True)
+    assert int(rp.status) == int(r64.status) == 0
+    np.testing.assert_allclose(np.asarray(rp.x), np.asarray(r64.x),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rp.f), np.asarray(r64.f),
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_structured_fast_pallas_vmap():
+    """Batched (vmapped) structured fast solves through the Pallas init."""
+    from jrlqp_tpu.structured.solver import (
+        solve_structured,
+        solve_structured_fast,
+    )
+
+    rng = np.random.default_rng(21)
+    probs = [_rand_structured(rng, nb=3, s=4, mc=2,
+                              gtype=GType.TRI_BLOCK_DIAGONAL)
+             for _ in range(4)]
+    sgs = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in probs])
+    a_b = jnp.stack([p[1] for p in probs])
+    scs = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[2] for p in probs])
+    l_b = jnp.stack([p[3] for p in probs])
+    u_b = jnp.stack([p[4] for p in probs])
+
+    res = jax.vmap(
+        lambda sg, a, sc, l, u: solve_structured_fast(
+            sg, a, sc, l, u, backend="pallas", interpret=True)
+    )(sgs, a_b, scs, l_b, u_b)
+    for k, (sg, a, sc, l, u) in enumerate(probs):
+        ref = solve_structured(sg, a, sc, l, u)
+        assert int(res.status[k]) == int(ref.status) == 0
+        np.testing.assert_allclose(np.asarray(res.x[k]), np.asarray(ref.x),
+                                   atol=1e-7)
+
+
+def test_structured_fast_pallas_non_spd_flagged():
+    """A non-SPD structured G must terminate NON_POS_HESSIAN through the
+    Pallas init (the kernel clamps pivots instead of NaN-ing; the collapsed
+    factor diagonal is the detection signal)."""
+    from jrlqp_tpu.structured.solver import solve_structured_fast
+
+    rng = np.random.default_rng(3)
+    nb, s, mc = 3, 4, 2
+    diag = np.zeros((nb, s, s))
+    for i in range(nb):
+        A = rng.standard_normal((s, s))
+        diag[i] = A @ A.T + nb * s * np.eye(s)
+    diag[1] -= 3 * nb * s * np.eye(s)          # make block 1 indefinite
+    off = rng.standard_normal((nb - 1, s, s))
+    sg = StructuredG(diag=jnp.asarray(diag), off=jnp.asarray(off),
+                     gtype=int(GType.TRI_BLOCK_DIAGONAL))
+    sc = StructuredC(blocks=jnp.asarray(rng.standard_normal((nb, mc, s))))
+    n, m = nb * s, nb * mc
+    res = solve_structured_fast(
+        sg, jnp.zeros(n), sc, jnp.full(m, -1.0), jnp.full(m, 1.0),
+        backend="pallas", interpret=True)
+    assert int(res.status) == int(TerminationStatus.NON_POS_HESSIAN)
