@@ -257,6 +257,7 @@ def run_corpus(
     bucketed: bool = True,
     engine: str = "f64",
     parser_engine: str = "auto",
+    ir_steps: int = 4,
 ):
     """Solve the filtered corpus, checking objective vs f* and KKT
     (ref: GoldfarbIdnaniSolverTest.cpp:221-310). Returns a list of dicts.
@@ -271,7 +272,10 @@ def run_corpus(
     -- one compile per bucket shape instead of one per problem.
     ``engine``: "f64" = reference-faithful J/R loop (robust, right for the
     corpus's wide conditioning range); "refined" = f32 loop + f64-residual
-    refinement (the throughput path).
+    refinement; "pallas" = the whole-solve kernel + refinement (the
+    throughput path; interpret mode off-TPU); "pallas_rescued" = same plus
+    the f64 re-solve of lanes whose refined KKT residual misses 1e-8
+    (host-orchestrated; falls back to "pallas" off-TPU).
     """
     import jax
     import jax.numpy as jnp
@@ -328,7 +332,23 @@ def run_corpus(
         pbs = stack_problems([to_pb(d) for _, d in items], n_pad, m_pad)
         if engine == "refined":
             batch_res = jax.jit(jax.vmap(
-                lambda p: solve_refined(p, opt)))(pbs)
+                lambda p: solve_refined(p, opt, ir_steps=ir_steps)))(pbs)
+        elif engine in ("pallas", "pallas_rescued"):
+            from ..solver.fast import (
+                solve_refined_pallas,
+                solve_refined_pallas_rescued,
+            )
+
+            dflt = jax.config.jax_default_device
+            platform = (dflt.platform if dflt is not None
+                        else jax.default_backend())
+            interp = platform != "tpu"
+            if engine == "pallas_rescued":
+                batch_res = solve_refined_pallas_rescued(
+                    pbs, opt, ir_steps=ir_steps, interpret=interp)
+            else:
+                batch_res = solve_refined_pallas(pbs, opt, ir_steps=ir_steps,
+                                                 interpret=interp)
         else:
             batch_res = solve_batch(pbs, opt)
         for i, (e, data) in enumerate(items):

@@ -122,3 +122,95 @@ def test_corpus_parsers_agree_on_synthesized_files(tmp_path):
         for k in ("G", "a", "C", "l", "u", "xl", "xu"):
             np.testing.assert_array_equal(getattr(dp, k), getattr(dn, k))
         assert dp.objcst == dn.objcst
+
+
+VENDORED_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "data", "qps")
+VENDORED = ("hs21", "hs35", "hs76")
+
+
+def _vendored_entries():
+    from jrlqp_tpu.io.maros_meszaros import MAROS_MESZAROS
+    return [e for e in MAROS_MESZAROS if e.name in VENDORED]
+
+
+@pytest.mark.parametrize("engine", ["f64", "pallas"])
+def test_vendored_public_problems_match_fstar(engine):
+    """hs21/hs35/hs76 (vendored QPS files written from the published
+    Hock-Schittkowski formulations) must hit the published f* from the
+    Maros-Meszaros table at 1e-6 relative through both the reference-
+    faithful f64 engine and the Pallas throughput engine
+    (ref acceptance: GoldfarbIdnaniSolverTest.cpp:304-306)."""
+    entries = _vendored_entries()
+    assert len(entries) == 3
+    results = run_corpus(qps_dir=VENDORED_DIR, entries=entries,
+                         bucketed=True, engine=engine)
+    assert len(results) == 3
+    for r in results:
+        assert r["status"] == "SUCCESS", r
+        assert r["obj_ok"], r
+        assert r["kkt_residual"] <= 1e-8, r
+
+
+LARGE_SPECS = [
+    # bigger buckets + controlled conditioning (VERDICT r2 item 5):
+    # (n_var, n_ineq, n_strong_act, bounds, double_sided)
+    (48, 40, 16, False, False),
+    (64, 50, 20, False, True),
+    (96, 80, 30, False, False),
+    (128, 100, 40, True, False),
+]
+
+
+def test_corpus_large_buckets_through_pallas(tmp_path):
+    """Corpus pipeline at larger sizes (n up to 128) through the Pallas
+    production configuration (kernel + IR + f64 rescue of lanes whose
+    refined residual misses 1e-8; interpret off-TPU): bucketed batched
+    solves must match f* and pass KKT at 1e-8."""
+    entries = _make_corpus(tmp_path, LARGE_SPECS, seed=7)
+    results = run_corpus(qps_dir=str(tmp_path), entries=entries,
+                         bucketed=True, engine="pallas_rescued")
+    assert len(results) == len(LARGE_SPECS)
+    for r in results:
+        assert r["status"] == "SUCCESS", r
+        assert r["obj_ok"], r
+        assert r["kkt_residual"] <= 1e-8, r
+
+
+def test_corpus_ill_conditioned_spectrum_f64(tmp_path):
+    """Ill-conditioned G (controlled spectrum, cond ~ 1e6): the f64 engine
+    must still match the known optimum -- the regime the corpus's high-cond
+    problems exercise (the reference filters at cond <= 1e8)."""
+    import jax.numpy as jnp
+
+    from jrlqp_tpu.io.qps import parse_qps
+    from jrlqp_tpu.problems import QPProblem
+    from jrlqp_tpu.solver.dense import solve
+    from jrlqp_tpu.testing.kkt import kkt_residual
+    from jrlqp_tpu.types import SolverOptions
+
+    rng = np.random.default_rng(11)
+    n, m = 20, 15
+    # G with spectrum 1e-3 .. 1e3 (cond 1e6)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    ev = np.logspace(-3, 3, n)
+    G = Q @ np.diag(ev) @ Q.T
+    G = 0.5 * (G + G.T)
+    x_star = rng.standard_normal(n)
+    C = rng.standard_normal((m, n))
+    cx = C @ x_star
+    l = cx - rng.uniform(0.1, 1.0, m)
+    u = cx + rng.uniform(0.1, 1.0, m)
+    a = -(G @ x_star)           # unconstrained optimum at x_star, interior
+    text = write_qps("illcond", G, a, C, l, u,
+                     np.full(n, -np.inf), np.full(n, np.inf))
+    d = parse_qps(text)
+    pb = QPProblem(G=jnp.asarray(d.G), a=jnp.asarray(d.a),
+                   C=jnp.asarray(d.C), l=jnp.asarray(d.l),
+                   u=jnp.asarray(d.u), xl=jnp.asarray(d.xl),
+                   xu=jnp.asarray(d.xu))
+    res = solve(pb, SolverOptions(max_iter=200))
+    assert int(res.status) == 0
+    fstar = float(0.5 * x_star @ (G @ x_star) + a @ x_star)
+    np.testing.assert_allclose(float(res.f), fstar, rtol=1e-6)
+    assert float(kkt_residual(res.x, res.multipliers, pb)) <= 1e-6
