@@ -32,7 +32,8 @@ from ..solver.dense import finalize, gi_iteration, init_state
 from ..solver.state import GIResult, GIState
 from ..types import MAX_ITER_REACHED, RUNNING, SolverOptions
 
-__all__ = ["LogFlags", "IterationTrace", "solve_traced", "dump_matlab"]
+__all__ = ["LogFlags", "IterationTrace", "solve_traced",
+           "solve_fast_traced", "capture_pallas_trajectory", "dump_matlab"]
 
 
 class LogFlags(enum.IntFlag):
@@ -139,6 +140,81 @@ def solve_traced(
     term = jnp.where(state.term == RUNNING, MAX_ITER_REACHED, state.term)
     state = dataclasses.replace(state, term=term.astype(jnp.int32))
     return finalize(pb, state), trace
+
+
+def solve_fast_traced(
+    pb: QPProblem,
+    opt: SolverOptions = SolverOptions(),
+    flags: LogFlags = LogFlags.ITERATION_BASIC_DETAILS,
+):
+    """Like :func:`jrlqp_tpu.solver.fast.solve_fast` but also returns an
+    IterationTrace — observability for the explicit-operator engine that
+    actually runs in production (the reference Logger wraps every solver,
+    ref: include/jrl-qp/utils/Logger.h:18-166). ``FastState`` shares the
+    traced fields (x, f, q, u, status, aorder, selected constraint) with
+    the dense ``GIState``, so the same buffers and ``dump_matlab`` apply.
+    jit/vmap-compatible."""
+    from ..solver.fast import _finalize, _init_fast, fast_iteration
+
+    n, m = pb.n, pb.m
+    state = _init_fast(pb, opt)
+    T = opt.max_iter
+    trace = _empty_trace(flags, T, n, m, pb.G.dtype)
+    if flags & LogFlags.INIT:
+        trace = _record(trace, state, 0)
+    max_iter = jnp.asarray(opt.max_iter, jnp.int32)
+
+    def cond(carry):
+        st, _ = carry
+        return (st.term == RUNNING) & (st.it < max_iter)
+
+    def body(carry):
+        st, tr = carry
+        st2 = fast_iteration(pb, st, opt)
+        advanced = st2.it != st.it
+        tr2 = _record(tr, st2, jnp.clip(st.it, 0, T - 1))
+        tr = jax.tree.map(lambda a, b: jnp.where(advanced, b, a), tr, tr2)
+        return st2, tr
+
+    state, trace = jax.lax.while_loop(cond, body, (state, trace))
+    term = jnp.where(state.term == RUNNING, MAX_ITER_REACHED, state.term)
+    state = dataclasses.replace(state, term=term.astype(jnp.int32))
+    return _finalize(pb, state), trace
+
+
+def capture_pallas_trajectory(
+    pb: QPProblem,
+    opt: SolverOptions = SolverOptions(),
+    n_iters: int = 16,
+    interpret: bool = True,
+    pack: int = 1,
+):
+    """Per-iteration state capture for the whole-solve Pallas kernel.
+
+    The kernel runs its while-loop entirely in VMEM, so intermediate
+    states are not observable from a single launch. This debug helper
+    re-runs the kernel with the iteration cap set to 1..n_iters from the
+    same init (interpret mode by default) and stacks the reached states —
+    O(n_iters^2) kernel work, intended for inspecting XLA-vs-Pallas
+    divergence on one problem, not for production. Returns a dict of
+    (n_iters, ...) arrays: x, u, q, it, term.
+    """
+    import dataclasses as _dc
+
+    from ..ops.pallas.gi_kernel import run_loop_pallas
+    from ..solver.fast import _init_fast
+
+    pb32 = jax.tree.map(
+        lambda a: a[None], pb.with_dtype(jnp.float32))  # batch of 1
+    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
+    rows = {k: [] for k in ("x", "u", "q", "it", "term")}
+    for cap in range(1, n_iters + 1):
+        out = run_loop_pallas(pb32, state0, cap, interpret=interpret,
+                              pack=pack)
+        for k in rows:
+            rows[k].append(np.asarray(out[k][0]))
+    return {k: np.stack(v) for k, v in rows.items()}
 
 
 def dump_matlab(name: str, trace: IterationTrace, res: GIResult) -> str:
