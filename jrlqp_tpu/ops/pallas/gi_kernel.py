@@ -562,6 +562,12 @@ def _kernel_packed(
         [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
 
 
+# packs proven (or healed) at runtime, keyed by padded (np_, mp_):
+# populated by solver.fast.solve_refined_pallas when a Mosaic scoped-VMEM
+# compile failure forces a smaller pack than _auto_pack's estimate
+_PROVEN_PACK: dict = {}
+
+
 def _auto_pack(np_: int, mp_: int) -> int:
     """Largest pack size whose scoped-VMEM footprint fits the VMEM limit.
 
@@ -602,8 +608,9 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     index layout.
     """
     if pack is None:
-        pack = _auto_pack(_round_up(pb32.a.shape[1] + 1, 8),
-                          _round_up(max(pb32.C.shape[1], 1), 8))
+        key = (_round_up(pb32.a.shape[1] + 1, 8),
+               _round_up(max(pb32.C.shape[1], 1), 8))
+        pack = _PROVEN_PACK.get(key) or _auto_pack(*key)
     inv = None
     if presort and pb32.a.shape[0] > pack > 1:
         cx = jnp.einsum("bij,bj->bi", pb32.C, state0.x)

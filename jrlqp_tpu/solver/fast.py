@@ -591,6 +591,32 @@ def solve_refined(
 
 @functools.partial(jax.jit,
                    static_argnames=("opt", "ir_steps", "interpret", "pack"))
+def _solve_refined_pallas_jit(
+    pbs: QPProblem,
+    opt: SolverOptions,
+    ir_steps: int,
+    interpret: bool,
+    pack: int | None,
+) -> GIResult:
+    from ..ops.pallas.gi_kernel import run_loop_pallas
+
+    B, n = pbs.a.shape
+    m = pbs.C.shape[1]
+    pb32 = pbs.with_dtype(jnp.float32)
+    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
+    out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
+                          pack=pack)
+    return _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
+
+
+def _is_vmem_compile_error(e: Exception) -> bool:
+    s = str(e).lower()
+    return ("vmem" in s or "scoped" in s) and (
+        "exceed" in s or "limit" in s or "alloc" in s or "mosaic" in s
+    )
+
+
 def solve_refined_pallas(
     pbs: QPProblem,
     opt: SolverOptions = SolverOptions(),
@@ -605,17 +631,33 @@ def solve_refined_pallas(
     (:mod:`jrlqp_tpu.ops.pallas.gi_kernel`); init (batched Cholesky) and the
     f64-residual refinement remain XLA ops. Semantics match
     ``vmap(solve_refined)``.
-    """
-    from ..ops.pallas.gi_kernel import run_loop_pallas
 
-    B, n = pbs.a.shape
+    Pack selection is self-healing: when ``pack`` is None and the
+    auto-sized pack overflows the device's scoped VMEM at Mosaic compile
+    time (the footprint model in ``_auto_pack`` is empirical, calibrated
+    on v5e), the compile error is caught here and the solve retries at the
+    next-smaller pack; the working size is memoized per problem shape.
+    Composes with jit/vmap (the body is jitted); under an *outer* user jit
+    the compile failure surfaces at the outer call instead -- pass
+    ``pack=`` or set ``JRLQP_VMEM_BUDGET_MB`` there.
+    """
+    from ..ops.pallas import gi_kernel as _gk
+
+    if pack is not None or interpret:
+        return _solve_refined_pallas_jit(pbs, opt, ir_steps, interpret, pack)
+    n = pbs.a.shape[1]
     m = pbs.C.shape[1]
-    pb32 = pbs.with_dtype(jnp.float32)
-    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
-    state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
-    out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
-                          pack=pack)
-    return _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
+    key = (_gk._round_up(n + 1, 8), _gk._round_up(max(m, 1), 8))
+    p = _gk._PROVEN_PACK.get(key)
+    while True:
+        try:
+            return _solve_refined_pallas_jit(pbs, opt, ir_steps, interpret, p)
+        except Exception as e:  # noqa: BLE001 -- compile-time Mosaic errors
+            eff = p if p is not None else _gk._auto_pack(*key)
+            if not _is_vmem_compile_error(e) or eff <= 1:
+                raise
+            p = eff // 2
+            _gk._PROVEN_PACK[key] = p
 
 
 def _state_from_kernel_out(out: dict, B: int) -> FastState:
