@@ -23,6 +23,7 @@ from jrlqp_tpu.bench import (
     bench_active_sweep,
     bench_box_single,
     bench_decompositions,
+    bench_scaling,
     bench_size_sweep,
     bench_structured_ik,
     bench_warm_start_trajectory,
@@ -32,9 +33,9 @@ from jrlqp_tpu.bench import (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/out")
-    ap.add_argument("--solver", default="f64", choices=["f64", "mixed", "refined", "pallas"])
+    ap.add_argument("--solver", default="f64", choices=["f64", "mixed", "refined", "pallas", "pallas_rescued"])
     ap.add_argument("--suite", default="all",
-                    choices=["all", "size", "active", "warm", "decomp", "box", "ik"])
+                    choices=["all", "size", "active", "warm", "decomp", "box", "ik", "scaling"])
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -63,8 +64,9 @@ def main():
             json.dump(r, fh, indent=2)
 
     if args.suite in ("all", "warm"):
-        r = bench_warm_start_trajectory(batch=min(args.batch, 32),
-                                        solver=args.solver if args.solver in ("f64", "pallas") else "f64")
+        r = bench_warm_start_trajectory(
+            batch=min(args.batch, 32),
+            solver="pallas" if args.solver.startswith("pallas") else "f64")
         print(json.dumps(r))
         with open(os.path.join(args.out, "warm_start.json"), "w") as fh:
             json.dump(r, fh, indent=2)
@@ -75,6 +77,34 @@ def main():
             print(json.dumps(r))
         with open(os.path.join(args.out, "decomposition.json"), "w") as fh:
             json.dump(rows, fh, indent=2)
+
+    if args.suite in ("all", "scaling"):
+        import jax as _jax
+        eng = "pallas" if args.solver.startswith("pallas") else args.solver
+        if eng not in ("f64", "refined", "pallas"):
+            eng = "f64"
+        rows = []
+        platforms = {d.platform for d in _jax.devices()} | (
+            {d.platform for d in _jax.devices("cpu")})
+        if "cpu" in platforms:
+            # CPU virtual mesh measures sharding scaling with the f64
+            # engine (interpret-mode pallas would swamp the measurement)
+            rows += bench_scaling(engine="f64", platform="cpu")
+        if "tpu" in platforms:
+            rows += bench_scaling(mesh_sizes=(1,), engine=eng,
+                                  platform="tpu")
+        for r in rows:
+            print(json.dumps(r))
+        path = os.path.join(args.out, "scaling.json")
+        # merge with rows from other platforms (CPU mesh run + TPU run)
+        old = []
+        if os.path.exists(path):
+            with open(path) as fh:
+                old = json.load(fh)
+            names = {r["name"] for r in rows}
+            old = [r for r in old if r.get("name") not in names]
+        with open(path, "w") as fh:
+            json.dump(old + rows, fh, indent=2)
 
     if args.suite in ("all", "ik"):
         rows = bench_structured_ik(batch=min(args.batch, 16))

@@ -7,6 +7,7 @@ from .harness import (
     bench_structured_ik,
     bench_warm_start_trajectory,
     bench_box_single,
+    bench_scaling,
     time_batch,
 )
 
@@ -15,6 +16,7 @@ __all__ = [
     "bench_active_sweep",
     "bench_decompositions",
     "bench_box_single",
+    "bench_scaling",
     "bench_size_sweep",
     "bench_structured_ik",
     "bench_warm_start_trajectory",

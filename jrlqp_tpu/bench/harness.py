@@ -33,6 +33,7 @@ __all__ = [
     "bench_warm_start_trajectory",
     "bench_decompositions",
     "bench_structured_ik",
+    "bench_scaling",
 ]
 
 
@@ -58,11 +59,28 @@ def _sync(out):
     host transfer does not."""
     leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "shape")]
     if leaves:
-        np.asarray(leaves[0].ravel()[:1])
+        # prefer a scalar leaf: always transferable, even when other
+        # leaves are sharded over a mesh (slicing those would gather)
+        scalars = [x for x in leaves if x.ndim == 0]
+        if scalars:
+            np.asarray(scalars[0])
+        else:
+            np.asarray(leaves[0].ravel()[:1])
     return out
 
 
+def _retry_relay(fn):
+    """One retry after an executable reload: the relayed TPU backend
+    intermittently invalidates loaded programs (InvalidArgument)."""
+    try:
+        return fn()
+    except jax.errors.JaxRuntimeError:
+        jax.clear_caches()
+        return fn()
+
+
 def _timeit(fn: Callable, n_rep: int = 3) -> float:
+    _retry_relay(lambda: _sync(fn()))  # absorb a relay reload outside timing
     best = np.inf
     for _ in range(n_rep):
         t0 = time.perf_counter()
@@ -96,7 +114,7 @@ def time_batch(
         run = jax.jit(jax.vmap(lambda p: solve_refined(p, opt)))
     else:
         run = jax.jit(lambda p: solve_batch(p, opt))
-    res = _sync(run(pbs))  # compile + warmup
+    res = _retry_relay(lambda: _sync(run(pbs)))  # compile + warmup
     wall = _timeit(lambda: run(pbs), n_rep)
     batch = pbs.G.shape[0]
     resid = jax.vmap(kkt_residual)(res.x, res.multipliers, pbs)
@@ -261,6 +279,57 @@ def bench_warm_start_trajectory(
         warm_success=float(jnp.mean((sts_w == 0).astype(jnp.float64))),
         cold_success=float(jnp.mean((sts_c == 0).astype(jnp.float64))),
     )
+
+
+def bench_scaling(
+    mesh_sizes=(1, 2, 4, 8),
+    n: int = 50,
+    m: int = 100,
+    per_device_batch: int = 256,
+    engine: str = "f64",
+    seed: int = 0,
+    platform: str | None = None,
+) -> list[dict]:
+    """Weak-scaling capture over a device mesh (BASELINE.md scaling row):
+    solves/s at each mesh size with a fixed per-device batch. On the CI
+    box the mesh is the virtual 8-device CPU mesh (``platform="cpu"``);
+    on a real slice the same code measures chips (``platform="tpu"``).
+    Efficiency is relative to mesh size 1 (perfect weak scaling = 1.0)."""
+    import jax.sharding
+
+    from ..parallel.mesh import solve_sharded
+
+    all_devs = jax.devices(platform) if platform else jax.devices()
+    rows = []
+    base_rate = None
+    for nd in mesh_sizes:
+        if len(all_devs) < nd:
+            continue
+        mesh = jax.make_mesh((nd,), ("batch",), devices=all_devs[:nd])
+        platform = mesh.devices.ravel()[0].platform
+        batch = per_device_batch * nd
+        pbs = random_qp_batch(jax.random.key(seed), batch, n, m,
+                              act_frac=0.3)
+        run = lambda: solve_sharded(pbs, SolverOptions(max_iter=150),  # noqa: E731
+                                    mesh=mesh, engine=engine)
+        res, stats = run()
+        _sync(stats)
+        wall = _timeit(lambda: run())
+        rate = batch / wall
+        if base_rate is None:
+            base_rate = rate / nd  # per-device rate at the smallest mesh
+        rows.append(dict(
+            name=f"scaling/{engine}/mesh={nd}/{platform}",
+            mesh_size=nd,
+            platform=platform,
+            batch=batch,
+            solves_per_sec=rate,
+            us_per_solve=wall / batch * 1e6,
+            efficiency=rate / (base_rate * nd),
+            success_rate=float(jnp.mean(
+                (res.status == 0).astype(jnp.float64))),
+        ))
+    return rows
 
 
 def bench_box_single(
