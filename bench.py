@@ -53,6 +53,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 SOLVER = os.environ.get("BENCH_SOLVER", "pallas")
 IR_STEPS = int(os.environ.get("BENCH_IR_STEPS", "2"))
+PACK = os.environ.get("BENCH_PACK")  # None = auto (self-healing)
+PACK = int(PACK) if PACK else None
 
 
 def main():
@@ -60,7 +62,8 @@ def main():
     opt = SolverOptions(max_iter=150)
 
     if SOLVER == "pallas":
-        run = jax.jit(lambda p: solve_refined_pallas(p, opt, ir_steps=IR_STEPS))
+        run = jax.jit(lambda p: solve_refined_pallas(p, opt, ir_steps=IR_STEPS,
+                                                     pack=PACK))
     elif SOLVER == "refined":
         run = jax.jit(jax.vmap(lambda p: solve_refined(p, opt)))
     elif SOLVER == "mixed":

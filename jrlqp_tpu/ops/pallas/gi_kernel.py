@@ -97,6 +97,12 @@ def _kernel(
     real_n = iot_n < i32(n)
     real_m = iot_m < i32(m)
 
+    # scale-aware dependence threshold (see fast._dep_eps): relative to
+    # trace(H0) = trace(G^-1), an upper scale for every later H
+    col_2n = jax.lax.broadcasted_iota(jnp.int32, (2 * np_, np_), 1)
+    tr0 = jnp.sum(jnp.where(row_2n == col_2n, K0_ref[0], f32(0.0)))
+    dep_thr = f32(2e-7) * jnp.maximum(tr0, f32(1e-30))
+
     def gather_row(M, idx):
         mask = jax.lax.broadcasted_iota(jnp.int32, M.shape, 0) == idx
         return jnp.sum(jnp.where(mask, M, f32(0.0)), axis=0, keepdims=True)
@@ -189,7 +195,10 @@ def _kernel(
                 jnp.where(sc_st_n == i32(UPPER_BOUND), xup, xlo), f32(0.0)))
             b = jnp.where(is_bnd, b_bnd, b_gen)
             nz_safe = jnp.where(nz != f32(0.0), nz, f32(1.0))
-            t2 = jnp.where(znorm2 > f32(1e-12),
+            # scale-aware zero-z test (see fast.fast_iteration)
+            nn_sel = jnp.sum(nplus_n * nplus_n)
+            zs = f32(1e-6) * tr0 * f32(1.0 / n)
+            t2 = jnp.where(znorm2 > zs * zs * nn_sel,
                            (sign * b - nx) / nz_safe, f32(BIG))
             t = jnp.minimum(t1, t2)
 
@@ -213,7 +222,7 @@ def _kernel(
                     # H -= z z^T/d; N* rows -= r z^T/d; new N* row = z^T/d
                     # == K -= [z; r_head] zn^T, then set row np_+q
                     nn = jnp.sum(nplus_n * nplus_n)
-                    dependent = nz <= f32(1e-5) * (f32(1.0) + nn)
+                    dependent = nz <= dep_thr * nn
                     dsafe = jnp.where(dependent, f32(1.0), nz)
                     zn = z / dsafe
                     stack = jnp.concatenate([z, r_head], axis=1)  # (1, 2np_)
@@ -356,6 +365,14 @@ def _kernel_packed(
     real_n = iot_n < i32(n)
     real_m = iot_m < i32(m)
 
+    # scale-aware dependence threshold (see fast._dep_eps): per-problem,
+    # relative to trace(H0) = trace(G^-1) (an upper scale for every later H)
+    r3i = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, np_), 1)
+    c3i = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, np_), 2)
+    tr0 = jnp.sum(jnp.sum(jnp.where(r3i == c3i, K0_ref[0], f32(0.0)),
+                          axis=2), axis=1, keepdims=True)       # (P, 1)
+    dep_thr = f32(2e-7) * jnp.maximum(tr0, f32(1e-30))
+
     def bmv(A, v):
         """(P, R, C) @ (P, C) -> (P, R), batched on the MXU."""
         return jax.lax.dot_general(A, v, (((2,), (1,)), ((0,), (0,))),
@@ -439,7 +456,10 @@ def _kernel_packed(
             f32(0.0)), axis=1, keepdims=True)
         b = jnp.where(is_bnd, b_bnd, b_gen)
         nz_safe = jnp.where(nz != f32(0.0), nz, f32(1.0))
-        t2 = jnp.where(znorm2 > f32(1e-12), (sign * b - nx) / nz_safe,
+        nn = jnp.sum(nplus_n * nplus_n, axis=1, keepdims=True)
+        # scale-aware zero-z test (see fast.fast_iteration)
+        zs = f32(1e-6) * tr0 * f32(1.0 / n)
+        t2 = jnp.where(znorm2 > zs * zs * nn, (sign * b - nx) / nz_safe,
                        f32(BIG))
         t = jnp.minimum(t1, t2)
 
@@ -455,8 +475,7 @@ def _kernel_packed(
         x_new = jnp.where(~dual_step, x + t_safe * z, x)
 
         # ---- add update ----
-        nn = jnp.sum(nplus_n * nplus_n, axis=1, keepdims=True)
-        dependent = nz <= f32(1e-5) * (f32(1.0) + nn)
+        dependent = nz <= dep_thr * nn
         dsafe = jnp.where(dependent, f32(1.0), nz)
         zn = z / dsafe
         K_add = K - bouter(jnp.concatenate([z, r_head], axis=1), zn)

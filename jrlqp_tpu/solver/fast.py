@@ -84,23 +84,36 @@ class FastState:
     skip1: jax.Array  # () bool
     sc_idx: jax.Array  # () int32
     sc_status: jax.Array  # () int32
+    # trace(G^-1) captured at init: the scale reference for the dependence
+    # and zero-z thresholds (trace(H) <= trace(G^-1) for every later H)
+    hscale: jax.Array  # ()
 
 
 def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-# threshold on delta = c^T H c for declaring the candidate normal linearly
-# dependent on the active set (the analog of the reference's zero-tail test)
+# Relative threshold on delta = c^T H c for declaring the candidate normal
+# linearly dependent on the active set (the analog of the reference's
+# zero-tail test; its fixed absolute tolerances are flagged [NUMERIC] at
+# src/GoldfarbIdnaniSolver.cpp:87,174,236). The test is made scale-aware by
+# comparing against trace(H) * |n+|^2: delta = n+^T H n+ <= lmax(H)|n+|^2
+# <= trace(H)|n+|^2, and the f32 deflation noise floor is
+# O(eps_f32 * trace(H) * |n+|^2), so the ratio is invariant under any
+# uniform rescaling of G or of the constraint normals. trace(H) never
+# exceeds trace(G^-1) (H = J2 J2^T is a section of G^-1), so the test
+# cannot loosen as the active set grows. The constants reproduce the
+# previous fixed thresholds (1e-5 / 1e-10 at unit scale, trace ~ n ~ 50).
 def _dep_eps(dtype):
-    return 1e-10 if dtype == jnp.float64 else 1e-5
+    return 2e-12 if dtype == jnp.float64 else 2e-7
 
 
 def _apply_add(state: FastState, nplus, z, r, idx, st, dtype):
     """Rank-one add update (see module docstring)."""
     n = state.x.shape[0]
     delta = jnp.dot(nplus, z)
-    dependent = delta <= _dep_eps(dtype) * (1.0 + jnp.dot(nplus, nplus))
+    hscale = jnp.maximum(state.hscale, jnp.asarray(1e-30, dtype))
+    dependent = delta <= _dep_eps(dtype) * hscale * jnp.dot(nplus, nplus)
     dsafe = jnp.where(dependent, 1.0, delta)
     zn = z / dsafe
     H = state.H - jnp.outer(z, zn)
@@ -191,8 +204,15 @@ def fast_iteration(pb: QPProblem, state: FastState, opt: SolverOptions) -> FastS
     ).astype(dtype)
     b = _selected_bound(pb, st1.sc_idx, st1.sc_status)
     nz_safe = jnp.where(nz != 0, nz, 1.0)
-    zthr = jnp.asarray(opt.zero_z_threshold, dtype)
-    t2 = jnp.where(znorm2 > zthr * zthr, (sign * b - nx) / nz_safe, big)
+    # scale-aware zero-z test: |z| ~ (trace(G^-1)/n) |n+| at unit scale,
+    # so the threshold is relative to the carried hscale (ref's absolute
+    # |z| > 1e-14, src/GoldfarbIdnaniSolver.cpp:174, made scale-free)
+    zthr = jnp.asarray(opt.zero_z_threshold, dtype) * (
+        jnp.maximum(st1.hscale, jnp.asarray(1e-30, dtype))
+        / jnp.asarray(n, dtype))
+    nn_sel = jnp.dot(nplus, nplus)
+    t2 = jnp.where(znorm2 > zthr * zthr * nn_sel,
+                   (sign * b - nx) / nz_safe, big)
     t = jnp.minimum(t1, t2)
 
     infeasible = t >= big
@@ -261,6 +281,7 @@ def _init_fast_from_ops(pb: QPProblem, H, x, posdef, opt: SolverOptions
         skip1=jnp.zeros((), bool),
         sc_idx=jnp.full((), -1, jnp.int32),
         sc_status=jnp.zeros((), jnp.int32),
+        hscale=jnp.trace(H),
     )
 
     eqmask = jnp.concatenate([pb.l == pb.u, pb.xl == pb.xu])
@@ -676,6 +697,7 @@ def _state_from_kernel_out(out: dict, B: int) -> FastState:
         skip1=jnp.zeros((B,), bool),
         sc_idx=jnp.full((B,), -1, jnp.int32),
         sc_status=jnp.zeros((B,), jnp.int32),
+        hscale=jnp.trace(out["H"], axis1=-2, axis2=-1),
     )
 
 
@@ -743,6 +765,7 @@ def _init_fast_warm(pb: QPProblem, as_hint: jax.Array,
         q=q, it=jnp.zeros((), jnp.int32), term=term,
         skip1=jnp.zeros((), bool), sc_idx=jnp.full((), -1, jnp.int32),
         sc_status=jnp.zeros((), jnp.int32),
+        hscale=jnp.trace(Ginv),
     )
     state = _tree_where(indep, warm, _init_fast(pb, opt))
     return _deactivate_negative_u(pb, state, b_act)
@@ -897,6 +920,7 @@ def _init_fast_from_carry(pb: QPProblem, H, Ns, status, aorder,
         term=jnp.asarray(RUNNING, jnp.int32),
         skip1=jnp.zeros((), bool), sc_idx=jnp.full((), -1, jnp.int32),
         sc_status=jnp.zeros((), jnp.int32),
+        hscale=jnp.trace(H),
     )
     return _deactivate_negative_u(pb, state, b_act)
 

@@ -88,3 +88,39 @@ def test_refined_with_equalities():
     assert int(res.status) == int(TerminationStatus.SUCCESS)
     np.testing.assert_allclose(np.asarray(res.x), rpb.x, rtol=1e-6, atol=1e-6)
     assert float(kkt_residual(res.x, res.multipliers, pb)) < 1e-10
+
+
+def test_fast_scale_invariant_dependence_threshold():
+    """Scaling G and a by 1e6 leaves the minimizer unchanged; the
+    dependence test must be scale-aware so the f32 engines still solve it
+    (a fixed absolute threshold misclassifies every candidate as dependent
+    when H = G^-1 is tiny; ref [NUMERIC] notes,
+    src/GoldfarbIdnaniSolver.cpp:87,174,236)."""
+    import dataclasses
+
+    from jrlqp_tpu.solver.fast import solve_refined, solve_refined_pallas
+    from jrlqp_tpu.testing.batch_gen import random_qp_batch
+    from jrlqp_tpu.testing.kkt import kkt_residual
+
+    pbs = random_qp_batch(jax.random.key(8), 6, 10, 16, act_frac=0.4)
+    s = 1e6
+    pbs_s = dataclasses.replace(pbs, G=pbs.G * s, a=pbs.a * s)
+    base = jax.vmap(lambda p: solve_refined(p, SolverOptions(max_iter=100)))(
+        pbs)
+    res = jax.vmap(lambda p: solve_refined(p, SolverOptions(max_iter=100)))(
+        pbs_s)
+    assert np.asarray(res.status == 0).all(), np.asarray(res.status)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(base.x),
+                               atol=1e-6)
+    resk = solve_refined_pallas(pbs_s, SolverOptions(max_iter=100),
+                                interpret=True)
+    assert np.asarray(resk.status == 0).all(), np.asarray(resk.status)
+    np.testing.assert_allclose(np.asarray(resk.x), np.asarray(base.x),
+                               atol=1e-6)
+    # and the tiny-G direction
+    pbs_t = dataclasses.replace(pbs, G=pbs.G / s, a=pbs.a / s)
+    rest = jax.vmap(lambda p: solve_refined(p, SolverOptions(max_iter=100)))(
+        pbs_t)
+    assert np.asarray(rest.status == 0).all()
+    np.testing.assert_allclose(np.asarray(rest.x), np.asarray(base.x),
+                               atol=1e-5)
