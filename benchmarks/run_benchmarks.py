@@ -18,6 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the relayed TPU backend intermittently
+# invalidates loaded executables; retries recompile, and without the cache
+# each recompile costs minutes instead of seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from jrlqp_tpu.bench import (
     bench_active_sweep,
@@ -37,25 +45,48 @@ def main():
     ap.add_argument("--suite", default="all",
                     choices=["all", "size", "active", "warm", "decomp", "box", "ik", "scaling"])
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--sizes", default=None,
+                    help="comma-separated n values for the size suite "
+                         "(one per process keeps relay sessions short)")
+    ap.add_argument("--fracs", default=None,
+                    help="comma-separated active fractions for the active "
+                         "suite")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    def merge_csv(path, rows):
+        """Merge rows into the CSV by fixture name (per-fixture processes
+        each contribute their row; reruns replace)."""
+        old = []
+        if os.path.exists(path):
+            with open(path, newline="") as fh:
+                old = list(csv.DictReader(fh))
+            names = {r["name"] for r in rows}
+            old = [r for r in old if r.get("name") not in names]
+        allr = old + rows
+        with open(path, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=rows[0].keys())
+            w.writeheader()
+            w.writerows(allr)
+        print(f"wrote {path} ({len(allr)} rows)")
+
     rows = []
     if args.suite in ("all", "size"):
-        rows += [r.row() for r in bench_size_sweep(batch=args.batch,
+        sizes = (tuple(int(v) for v in args.sizes.split(","))
+                 if args.sizes else (10, 25, 50, 75, 100))
+        rows += [r.row() for r in bench_size_sweep(sizes=sizes,
+                                                   batch=args.batch,
                                                    solver=args.solver)]
     if args.suite in ("all", "active"):
-        rows += [r.row() for r in bench_active_sweep(batch=args.batch,
+        fracs = (tuple(float(v) for v in args.fracs.split(","))
+                 if args.fracs else (0.0, 0.1, 0.3, 0.5, 0.8, 0.95))
+        rows += [r.row() for r in bench_active_sweep(fracs=fracs,
+                                                     batch=args.batch,
                                                      solver=args.solver)]
     for r in rows:
         print(json.dumps(r))
     if rows:
-        path = os.path.join(args.out, f"solvers_{args.solver}.csv")
-        with open(path, "w", newline="") as fh:
-            w = csv.DictWriter(fh, fieldnames=rows[0].keys())
-            w.writeheader()
-            w.writerows(rows)
-        print(f"wrote {path}")
+        merge_csv(os.path.join(args.out, f"solvers_{args.solver}.csv"), rows)
 
     if args.suite in ("all", "box"):
         r = bench_box_single(batch=max(args.batch, 1024))

@@ -805,6 +805,8 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     ao_out = aorder[:, 0, :n]
     ao_back = jnp.where(ao_out >= mp_, ao_out - mp_ + m, ao_out)
     ao_back = jnp.where(ao_out < 0, -1, ao_back)
+    sc_raw = scal[:, 0, 4]
+    sc_back = jnp.where(sc_raw >= mp_, sc_raw - mp_ + m, sc_raw)
     return dict(
         x=x[:, 0, :n],
         u=uvec[:, 0, :n],
@@ -813,6 +815,9 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         q=scal[:, 0, 0],
         it=scal[:, 0, 1],
         term=scal[:, 0, 2],
+        skip1=scal[:, 0, 3],
+        sc_idx=sc_back,
+        sc_status=scal[:, 0, 5],
         H=K[:, :n, :n],
         Ns=K[:, np_:np_ + n, :n],
     )

@@ -694,9 +694,9 @@ def _state_from_kernel_out(out: dict, B: int) -> FastState:
         q=out["q"],
         it=out["it"],
         term=out["term"],
-        skip1=jnp.zeros((B,), bool),
-        sc_idx=jnp.full((B,), -1, jnp.int32),
-        sc_status=jnp.zeros((B,), jnp.int32),
+        skip1=out["skip1"].astype(bool),
+        sc_idx=out["sc_idx"],
+        sc_status=out["sc_status"],
         hscale=jnp.trace(out["H"], axis1=-2, axis2=-1),
     )
 
@@ -974,6 +974,75 @@ def _rescue_subbatch(pbs: QPProblem, opt: SolverOptions) -> GIResult:
     from .dense import solve_batch
 
     return solve_batch(pbs.with_dtype(jnp.float64), opt)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "interpret", "pack",
+                                              "phase1"))
+def _pallas_phase1(pbs, opt, phase1, interpret, pack):
+    from ..ops.pallas.gi_kernel import run_loop_pallas
+
+    B = pbs.a.shape[0]
+    pb32 = pbs.with_dtype(jnp.float32)
+    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
+    out = run_loop_pallas(pb32, state0, phase1, interpret=interpret,
+                          pack=pack)
+    return _state_from_kernel_out(out, B)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "interpret", "pack"))
+def _pallas_phase2(pbs, state, opt, interpret, pack):
+    from ..ops.pallas.gi_kernel import run_loop_pallas
+
+    B = pbs.a.shape[0]
+    pb32 = pbs.with_dtype(jnp.float32)
+    state = dataclasses.replace(
+        state, term=jnp.where(state.term == MAX_ITER_REACHED, RUNNING,
+                              state.term).astype(jnp.int32))
+    out = run_loop_pallas(pb32, state, opt.max_iter, interpret=interpret,
+                          pack=pack)
+    return _state_from_kernel_out(out, B)
+
+
+def solve_refined_pallas_compacted(
+    pbs: QPProblem,
+    opt: SolverOptions = SolverOptions(),
+    ir_steps: int = 3,
+    phase1_frac: float = 0.45,
+    pack: int | None = None,
+    interpret: bool = False,
+) -> GIResult:
+    """Two-phase kernel execution with mid-solve compaction.
+
+    A pack runs until its slowest member finishes, so the iteration-count
+    tail costs the whole batch: with presorted packs the kernel time is
+    sum-of-pack-maxima, and the last ~15-20%% of lanes typically burn
+    30-50%% of the wall clock. This wrapper runs the kernel to a reduced
+    cap (``phase1_frac * max_iter``), gathers the (typically small) set of
+    lanes that hit the cap into a dense power-of-two sub-batch -- carrying
+    FULL kernel state: operators K=[H;N*], multipliers, activation order,
+    pending selection (skip1/sc_idx) -- and finishes only those with the
+    full budget. Host-orchestrated like the rescue path (the unfinished
+    count is data-dependent); phases are jitted.
+    """
+    import numpy as np
+
+    phase1 = max(1, min(int(opt.max_iter * phase1_frac), opt.max_iter))
+    st = _pallas_phase1(pbs, opt, phase1, interpret, pack)
+    if phase1 >= opt.max_iter:
+        return _refine_batch(pbs, st, ir_steps)
+    unfinished = np.nonzero(
+        np.asarray(st.term == MAX_ITER_REACHED))[0]
+    if unfinished.size:
+        size = 1 << int(unfinished.size - 1).bit_length()
+        idx = np.pad(unfinished, (0, size - unfinished.size), mode="edge")
+        sub_pb = jax.tree.map(lambda x: x[idx], pbs)
+        sub_st = jax.tree.map(lambda x: x[idx], st)
+        fin = _pallas_phase2(sub_pb, sub_st, opt, interpret, pack)
+        take = unfinished.size
+        st = jax.tree.map(
+            lambda full, part: full.at[unfinished].set(part[:take]), st, fin)
+    return _refine_batch(pbs, st, ir_steps)
 
 
 @jax.jit

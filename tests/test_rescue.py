@@ -64,3 +64,47 @@ def test_rescue_fixes_injected_failures():
     resid = jax.vmap(kkt_residual)(res.x, res.multipliers, pbs)
     assert np.all(np.asarray(res.status) == 0)
     assert float(jnp.max(resid)) <= 1e-8
+
+
+def test_compacted_matches_plain_pallas():
+    """Two-phase mid-solve compaction must reproduce the single-launch
+    kernel results exactly: lanes finished in phase 1 are untouched, and
+    continued lanes carry full kernel state (operators, pending selection)
+    so their trajectory is identical."""
+    from jrlqp_tpu.solver.fast import (
+        solve_refined_pallas,
+        solve_refined_pallas_compacted,
+    )
+    from jrlqp_tpu.testing.batch_gen import random_qp_batch
+    from jrlqp_tpu.testing.kkt import kkt_residual
+
+    opt = SolverOptions(max_iter=100)
+    pbs = random_qp_batch(jax.random.key(21), 12, 10, 16, act_frac=0.6)
+    plain = solve_refined_pallas(pbs, opt, interpret=True)
+    comp = solve_refined_pallas_compacted(pbs, opt, phase1_frac=0.12,
+                                          interpret=True)
+    assert np.asarray(comp.status == 0).all()
+    np.testing.assert_allclose(np.asarray(comp.x), np.asarray(plain.x),
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(comp.iterations),
+                                  np.asarray(plain.iterations))
+    resid = jax.vmap(kkt_residual)(comp.x, comp.multipliers, pbs)
+    assert float(np.max(np.asarray(resid))) <= 1e-8
+
+
+def test_compacted_phase1_covers_all():
+    """When every lane finishes within phase 1, no second launch state is
+    touched and results still match."""
+    from jrlqp_tpu.solver.fast import (
+        solve_refined_pallas,
+        solve_refined_pallas_compacted,
+    )
+    from jrlqp_tpu.testing.batch_gen import random_qp_batch
+
+    opt = SolverOptions(max_iter=200)
+    pbs = random_qp_batch(jax.random.key(22), 6, 8, 12, act_frac=0.2)
+    plain = solve_refined_pallas(pbs, opt, interpret=True)
+    comp = solve_refined_pallas_compacted(pbs, opt, phase1_frac=0.9,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(comp.x), np.asarray(plain.x),
+                               atol=1e-12)
