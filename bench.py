@@ -64,6 +64,13 @@ def main():
     if SOLVER == "pallas":
         run = jax.jit(lambda p: solve_refined_pallas(p, opt, ir_steps=IR_STEPS,
                                                      pack=PACK))
+    elif SOLVER == "pallas_compacted":
+        from jrlqp_tpu.solver.fast import solve_refined_pallas_compacted
+
+        ph1 = float(os.environ.get("BENCH_PHASE1_FRAC", "0.45"))
+        # host-orchestrated two-phase; phases are jitted internally
+        run = lambda p: solve_refined_pallas_compacted(  # noqa: E731
+            p, opt, ir_steps=IR_STEPS, phase1_frac=ph1, pack=PACK)
     elif SOLVER == "refined":
         run = jax.jit(jax.vmap(lambda p: solve_refined(p, opt)))
     elif SOLVER == "mixed":

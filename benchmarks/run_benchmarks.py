@@ -13,6 +13,10 @@ import json
 import os
 import sys
 
+# the fused block-LLT kernels unroll the whole block chain in one kernel
+# body; tracing them to a jaxpr exceeds CPython's default recursion limit
+sys.setrecursionlimit(100_000)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax

@@ -205,8 +205,11 @@ def bench_warm_start_trajectory(
     opt = SolverOptions(max_iter=100, warm_start=True)
     base = random_qp_batch(jax.random.key(seed), batch, n, m, act_frac=0.4)
     key = jax.random.key(seed + 1)
-    # per-step bound drifts, precomputed: (steps, batch, m)
-    drifts = shift_scale * jax.random.normal(key, (steps, batch, m), base.l.dtype)
+    # per-step bound drifts, precomputed: (steps, batch, m). Kept on the
+    # HOST: eager device slicing per step adds a dispatch that the relayed
+    # backend can reject once its session degrades.
+    drifts = np.asarray(
+        shift_scale * jax.random.normal(key, (steps, batch, m), base.l.dtype))
 
     def shifted(pb: QPProblem, d):
         return dataclasses.replace(pb, l=pb.l + d, u=pb.u + d)
@@ -219,37 +222,45 @@ def bench_warm_start_trajectory(
 
         shift_j = jax.jit(jax.vmap(shifted))
 
-        def _retry(fn, *a):
-            # one retry after an executable reload: the relayed backend
-            # intermittently invalidates loaded programs (InvalidArgument)
-            try:
-                return fn(*a)
-            except jax.errors.JaxRuntimeError:
-                jax.clear_caches()
-                return fn(*a)
-
         def run_traj(warm: bool):
             carry = None
             its, sts, t_win = [], [], None
             t0 = None
+            n_skipped = 0
             for s_i in range(steps):
-                pbs = shift_j(base, drifts[s_i])
-                if warm:
-                    res, carry = _retry(
-                        lambda p, c: solve_refined_pallas_carry(p, c, opt),
-                        pbs, carry)
-                else:
-                    res = _retry(
-                        lambda p: solve_refined_pallas(p, opt), pbs)
+                def step(carry=carry, s_i=s_i):
+                    # whole step under one retry: a relay reload mid-step
+                    # invalidates the result buffers too, so the step (and
+                    # its syncs) must be redone together
+                    pbs = shift_j(base, jnp.asarray(drifts[s_i]))
+                    if warm:
+                        res, carry2 = solve_refined_pallas_carry(
+                            pbs, carry, opt)
+                    else:
+                        res, carry2 = solve_refined_pallas(pbs, opt), None
+                    _sync(res.iterations)
+                    return res, carry2
+
+                try:
+                    res, carry = _retry_relay(step)
+                except jax.errors.JaxRuntimeError:
+                    # terminal relay episode: skip the step, keep the
+                    # trajectory going so the artifact still lands
+                    n_skipped += 1
+                    jax.clear_caches()
+                    continue
                 if s_i == 1:  # step 0 = compile+warmup; start clock at 1
-                    _sync(res.x)
                     t0 = time.perf_counter()
-                its.append(res.iterations)
-                sts.append(res.status)
+                its.append(np.asarray(res.iterations))
+                sts.append(np.asarray(res.status))
                 if t0 is not None and s_i == min(steps - 1, time_window):
-                    _sync(res.x)
                     t_win = (time.perf_counter() - t0) / (s_i - 1 + 1e-12)
-            _sync(res.x)
+            if n_skipped:
+                print(f"# warm bench: {n_skipped} steps skipped (relay)")
+            if n_skipped > steps // 4:
+                raise RuntimeError(
+                    f"warm bench unusable: {n_skipped}/{steps} steps lost "
+                    "to a relay outage -- rerun in a healthy window")
             return (jnp.stack(its), jnp.stack(sts),
                     t_win * steps if t_win is not None else 0.0)
 
