@@ -52,7 +52,7 @@ N, M = 50, 100
 BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 SOLVER = os.environ.get("BENCH_SOLVER", "pallas")
-IR_STEPS = int(os.environ.get("BENCH_IR_STEPS", "2"))
+IR_STEPS = int(os.environ.get("BENCH_IR_STEPS", "1"))
 PACK = os.environ.get("BENCH_PACK")  # None = auto (self-healing)
 PACK = int(PACK) if PACK else None
 

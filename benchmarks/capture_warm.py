@@ -1,0 +1,106 @@
+"""Minimal warm-start trajectory capture at a compute-bound batch.
+
+The full harness trajectory (100 steps x many dispatches) trips the
+relayed backend's session degradation faster than its retry budget; this
+script captures the same fixture (drifting-bounds control loop,
+ref: benchmarks/SolversWarmStart.cpp:31-59,162-169) with the minimum
+number of dispatches: STEPS host-driven steps at batch 1024, warm
+(WarmCarry, zero refactorization) vs cold, timing the post-warmup window.
+Writes benchmarks/out/warm_start.json.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from jrlqp_tpu import SolverOptions
+from jrlqp_tpu.solver.fast import (
+    solve_refined_pallas,
+    solve_refined_pallas_carry,
+)
+from jrlqp_tpu.testing.batch_gen import random_qp_batch
+
+N, M = 20, 40
+BATCH = int(os.environ.get("WARM_BATCH", "1024"))
+STEPS = int(os.environ.get("WARM_STEPS", "12"))
+
+
+def main():
+    opt = SolverOptions(max_iter=100, warm_start=True)
+    base = random_qp_batch(jax.random.key(0), BATCH, N, M, act_frac=0.4)
+    drifts = np.asarray(0.02 * jax.random.normal(
+        jax.random.key(1), (STEPS, BATCH, M), base.l.dtype))
+
+    def traj(warm: bool):
+        carry = None
+        its, sts = [], []
+        t0 = None
+        s = 0
+        fails = 0
+        while s < STEPS:
+            try:
+                d = jnp.asarray(drifts[s])
+                pbs = dataclasses.replace(base, l=base.l + d, u=base.u + d)
+                if warm:
+                    res, carry2 = solve_refined_pallas_carry(pbs, carry, opt)
+                else:
+                    res, carry2 = solve_refined_pallas(pbs, opt), None
+                it = np.asarray(res.iterations)  # host transfer = barrier
+                sts_s = np.asarray(res.status)
+            except jax.errors.JaxRuntimeError:
+                # relay invalidated the loaded program; heal and redo the
+                # step (timing restarts -- a healed episode is steady)
+                fails += 1
+                if fails > 8:
+                    raise
+                jax.clear_caches()
+                time.sleep(3.0 * fails)
+                t0 = None
+                continue
+            carry = carry2
+            if t0 is None and s >= 1:
+                t0 = time.perf_counter()  # step 0 = compile+warmup
+                t0_step = s
+            its.append(it)
+            sts.append(np.asarray(res.status))
+            s += 1
+        dt = time.perf_counter() - t0
+        n_timed = (STEPS - 1 - t0_step)
+        return (np.stack(its), np.stack(sts),
+                dt / (max(n_timed, 1) * BATCH) * 1e6)
+
+    its_w, sts_w, us_w = traj(True)
+    its_c, sts_c, us_c = traj(False)
+    out = dict(
+        name=f"warm_start_trajectory/pallas/n={N}/m={M}/steps={STEPS}",
+        batch=BATCH,
+        steps=STEPS,
+        warm_mean_it=float(its_w[1:].mean()),
+        cold_mean_it=float(its_c.mean()),
+        warm_us_per_solve=us_w,
+        cold_us_per_solve=us_c,
+        warm_success=float((sts_w == 0).mean()),
+        cold_success=float((sts_c == 0).mean()),
+    )
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "out", "warm_start.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

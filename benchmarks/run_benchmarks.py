@@ -99,9 +99,14 @@ def main():
             json.dump(r, fh, indent=2)
 
     if args.suite in ("all", "warm"):
+        # the pallas trajectory must run at a compute-bound batch: at
+        # batch<=32 every step is dispatch-bound through the relay and the
+        # warm path's zero-refactorization win is invisible in wall clock
+        pallas = args.solver.startswith("pallas")
         r = bench_warm_start_trajectory(
-            batch=min(args.batch, 32),
-            solver="pallas" if args.solver.startswith("pallas") else "f64")
+            batch=(1024 if pallas else min(args.batch, 32)),
+            steps=(40 if pallas else 100),
+            solver="pallas" if pallas else "f64")
         print(json.dumps(r))
         with open(os.path.join(args.out, "warm_start.json"), "w") as fh:
             json.dump(r, fh, indent=2)

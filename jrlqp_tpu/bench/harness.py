@@ -81,6 +81,9 @@ def _retry_relay(fn, attempts: int = 3):
             if k == attempts - 1:
                 raise
             jax.clear_caches()
+            # a degraded relay episode usually heals within seconds;
+            # retrying immediately just burns the remaining attempts
+            time.sleep(2.0 * (k + 1))
 
 
 def _timeit(fn: Callable, n_rep: int = 3) -> float:
@@ -242,7 +245,7 @@ def bench_warm_start_trajectory(
                     return res, carry2
 
                 try:
-                    res, carry = _retry_relay(step)
+                    res, carry = _retry_relay(step, attempts=5)
                 except jax.errors.JaxRuntimeError:
                     # terminal relay episode: skip the step, keep the
                     # trajectory going so the artifact still lands

@@ -1024,6 +1024,20 @@ def solve_refined_pallas_compacted(
     pending selection (skip1/sc_idx) -- and finishes only those with the
     full budget. Host-orchestrated like the rescue path (the unfinished
     count is data-dependent); phases are jitted.
+
+    .. warning:: **Experimental -- measured SLOWER than the single-launch
+       kernel on the relayed-TPU environment** (TPU round trips for the
+       unfinished-lane gather plus a per-bucket-size recompile dominate;
+       bench: ~1.0k vs 16.6k solves/s at batch 16384). There is also a
+       known accuracy caveat: the phase-2 kernel re-derives its
+       scale-aware dependence threshold from the trace of the *evolved*
+       operator K (which shrinks toward 0 as constraints activate, see
+       gi_kernel dep_thr) instead of the initial H0 trace, so
+       hard/late-finishing lanes can mis-detect dependence (~3%% KKT
+       failures at act_frac 0.3). Use :func:`solve_refined_pallas`
+       (optionally with :func:`solve_refined_pallas_rescued`) in
+       production; this wrapper is kept as the starting point for a
+       locally-attached-TPU deployment where the host round trip is ~us.
     """
     import numpy as np
 
