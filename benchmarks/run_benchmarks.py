@@ -131,8 +131,10 @@ def main():
             # engine (interpret-mode pallas would swamp the measurement)
             rows += bench_scaling(engine="f64", platform="cpu")
         if "tpu" in platforms:
+            # per-device batch must amortize the ~23ms relay round trip:
+            # at 256/device the row measures dispatch, not the solver
             rows += bench_scaling(mesh_sizes=(1,), engine=eng,
-                                  platform="tpu")
+                                  platform="tpu", per_device_batch=4096)
         for r in rows:
             print(json.dumps(r))
         path = os.path.join(args.out, "scaling.json")
