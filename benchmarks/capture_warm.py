@@ -44,15 +44,23 @@ def main():
     drifts = np.asarray(0.02 * jax.random.normal(
         jax.random.key(1), (STEPS, BATCH, M), base.l.dtype))
 
+    assert STEPS >= 3, "need >=1 warmup step and >=2 timed steps"
+    min_timed = min(3, STEPS - 2)
+
     def traj(warm: bool):
         carry = None
         its, sts = [], []
         t0 = None
+        t0_step = None
         s = 0
         fails = 0
-        while s < STEPS:
+        # extra steps re-run after late relay failures so the timed window
+        # never shrinks below min_timed (a t0 reset on the final step would
+        # otherwise publish a near-zero us/solve)
+        extra = 0
+        while s < STEPS + extra:
             try:
-                d = jnp.asarray(drifts[s])
+                d = jnp.asarray(drifts[s % STEPS])
                 pbs = dataclasses.replace(base, l=base.l + d, u=base.u + d)
                 if warm:
                     res, carry2 = solve_refined_pallas_carry(pbs, carry, opt)
@@ -68,19 +76,29 @@ def main():
                     raise
                 jax.clear_caches()
                 time.sleep(3.0 * fails)
+                # timing restarts; extend the run so the post-restart
+                # window still holds >= min_timed steps
+                extra = max(extra, s + 1 + min_timed - STEPS)
                 t0 = None
+                t0_step = None
                 continue
+            fails = 0  # budget is per-episode, not cumulative
             carry = carry2
             if t0 is None and s >= 1:
                 t0 = time.perf_counter()  # step 0 = compile+warmup
                 t0_step = s
-            its.append(it)
-            sts.append(np.asarray(res.status))
+            if s < STEPS:
+                its.append(it)
+                sts.append(sts_s)
             s += 1
+        # t0 is captured after step t0_step's barrier, so the window spans
+        # steps t0_step+1 .. s-1
         dt = time.perf_counter() - t0
-        n_timed = (STEPS - 1 - t0_step)
+        n_timed = s - 1 - t0_step
+        assert n_timed >= min_timed, (
+            f"timed window too small ({n_timed} < {min_timed})")
         return (np.stack(its), np.stack(sts),
-                dt / (max(n_timed, 1) * BATCH) * 1e6)
+                dt / (n_timed * BATCH) * 1e6)
 
     its_w, sts_w, us_w = traj(True)
     its_c, sts_c, us_c = traj(False)

@@ -142,11 +142,24 @@ def main():
         old = []
         if os.path.exists(path):
             with open(path) as fh:
-                old = json.load(fh)
+                prev = json.load(fh)
+            # accept either the legacy bare-list format or the annotated
+            # {"note": ..., "rows": [...]} format
+            old = prev["rows"] if isinstance(prev, dict) else prev
             names = {r["name"] for r in rows}
             old = [r for r in old if r.get("name") not in names]
+        for r in rows:
+            if r.get("platform") == "cpu":
+                r["efficiency_note"] = ("host-core contention artifact, "
+                                        "not sharding overhead")
+        note = ("Virtual-CPU mesh rows (platform=cpu, "
+                "xla_force_host_platform_device_count) validate sharding "
+                "correctness only; their 'efficiency' collapse reflects "
+                "host-core contention on one machine, NOT sharding overhead. "
+                "Only platform=tpu rows are performance evidence; mesh=1 is "
+                "the hardware limit of this environment (single chip).")
         with open(path, "w") as fh:
-            json.dump(old + rows, fh, indent=2)
+            json.dump({"note": note, "rows": old + rows}, fh, indent=2)
 
     if args.suite in ("all", "ik"):
         rows = bench_structured_ik(batch=min(args.batch, 16))
