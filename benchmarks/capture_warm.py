@@ -40,9 +40,13 @@ STEPS = int(os.environ.get("WARM_STEPS", "12"))
 
 def main():
     opt = SolverOptions(max_iter=100, warm_start=True)
-    base = random_qp_batch(jax.random.key(0), BATCH, N, M, act_frac=0.4)
-    drifts = np.asarray(0.02 * jax.random.normal(
-        jax.random.key(1), (STEPS, BATCH, M), base.l.dtype))
+    # generate on the CPU backend: setup must not depend on relay health
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = random_qp_batch(jax.random.key(0), BATCH, N, M, act_frac=0.4)
+        base = jax.tree.map(np.asarray, base)
+        drifts = np.asarray(0.02 * jax.random.normal(
+            jax.random.key(1), (STEPS, BATCH, M), base.l.dtype))
+    # keep host copies: each relay retry then re-transfers fresh buffers
 
     assert STEPS >= 3, "need >=1 warmup step and >=2 timed steps"
     min_timed = min(3, STEPS - 2)

@@ -162,7 +162,10 @@ def main():
             json.dump({"note": note, "rows": old + rows}, fh, indent=2)
 
     if args.suite in ("all", "ik"):
+        # head-to-head at the historical batch plus a throughput batch
+        # (the structured layer's win is amortized init: show both)
         rows = bench_structured_ik(batch=min(args.batch, 16))
+        rows += bench_structured_ik(batch=128)
         for r in rows:
             print(json.dumps(r))
         with open(os.path.join(args.out, "structured_ik.json"), "w") as fh:

@@ -530,11 +530,14 @@ def bench_structured_ik(
     a_b, l_b, u_b = jnp.asarray(a), jnp.asarray(l_), jnp.asarray(u_)
     opt = SolverOptions(max_iter=200)
 
+    from ..structured.solver import solve_structured_fast_batch
+
     def batched(backend):
-        return jax.jit(jax.vmap(
-            lambda sg, av, sc, lv, uv: solve_structured_fast(
-                sg, av, sc, lv, uv, opt=opt, backend=backend,
-                interpret=interpret)))
+        # batch-native entry: ONE packed fused init kernel launch for the
+        # whole batch, then the vmapped explicit-operator loop
+        return jax.jit(lambda sg, av, sc, lv, uv: solve_structured_fast_batch(
+            sg, av, sc, lv, uv, opt=opt, backend=backend,
+            interpret=interpret))
 
     f_pallas = batched("pallas")
     f_xla = batched("xla")
@@ -550,11 +553,13 @@ def bench_structured_ik(
         ("structured_fast_xla", f_xla, (sgs, a_b, scs, l_b, u_b)),
         ("dense_fast", f_dense, (pbs,)),
     ]:
-        res = fn(*args)
-        jax.block_until_ready(res.x)
+        res = _retry_relay(lambda: _sync(fn(*args)))
         t = _timeit(lambda: fn(*args))
         ok = float(jnp.mean((res.status == 0).astype(jnp.float64)))
-        row = dict(name=f"ik/{name}/nb={nb}/s={s}", ms_per_solve=t / batch * 1e3,
+        row = dict(name=f"ik/{name}/nb={nb}/s={s}/batch={batch}",
+                   batch=batch,
+                   ms_per_solve=t / batch * 1e3,
+                   solves_per_sec=batch / t,
                    success_rate=ok)
         if ref_x is None:
             ref_x = res.x

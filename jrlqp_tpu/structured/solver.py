@@ -33,7 +33,7 @@ from ..types import (
 from .containers import GType, StructuredC, StructuredG
 
 __all__ = ["solve_structured", "solve_structured_fast",
-           "structured_qp_problem"]
+           "solve_structured_fast_batch", "structured_qp_problem"]
 
 
 def structured_qp_problem(
@@ -206,13 +206,15 @@ def solve_structured(
     return finalize(pb, state)
 
 
-def _structured_inverse_pallas(sg32: StructuredG, interpret: bool):
-    """H = G^{-1} and a posdef estimate via the fused Pallas block-LLT
-    kernels (ops/pallas/block_llt.py; ref [OPTIM] anchors:
-    src/decomposition/blockArrowLLT.cpp:118-120,217). One kernel launch
-    factors the whole chain with per-block inverses, a second runs the
-    forward+backward multi-rhs solve on the identity -- every downstream
-    use of the factor is then a plain gemm against H."""
+def _structured_inverse_pallas_batch(diag, off, gtype, interpret: bool,
+                                     pack=None):
+    """Batched H = G^{-1} (B, n, n) and posdef flags (B,) via the fused
+    (and problem-packed) Pallas block-LLT kernels (ops/pallas/block_llt.py;
+    ref [OPTIM] anchors: src/decomposition/blockArrowLLT.cpp:118-120,217).
+    One kernel launch factors every problem's whole chain with per-block
+    inverses, a second runs the forward+backward multi-rhs solve on the
+    identity -- every downstream use of the factor is then a plain gemm
+    against H."""
     from ..ops.pallas.block_llt import (
         block_arrow_llt_pallas,
         block_arrow_solve_pallas,
@@ -221,27 +223,35 @@ def _structured_inverse_pallas(sg32: StructuredG, interpret: bool):
     )
 
     f32 = jnp.float32
-    nb, s = sg32.nb, sg32.s
+    B, nb, s, _ = diag.shape
     n = nb * s
-    diag = sg32.diag[None]
-    off = sg32.off[None]
-    eye_b = jnp.eye(n, dtype=f32).reshape(1, nb, s, n)
-    if sg32.gtype == GType.TRI_BLOCK_DIAGONAL:
-        Ld, Lo, Li = tri_block_llt_pallas(diag, off, interpret=interpret)
-        H = tri_block_solve_pallas(Lo, Li, eye_b, interpret=interpret)
+    eye_b = jnp.broadcast_to(
+        jnp.eye(n, dtype=f32).reshape(1, nb, s, n), (B, nb, s, n))
+    if gtype == GType.TRI_BLOCK_DIAGONAL:
+        Ld, Lo, Li = tri_block_llt_pallas(diag, off, interpret=interpret,
+                                          pack=pack)
+        H = tri_block_solve_pallas(Lo, Li, eye_b, interpret=interpret,
+                                   pack=pack)
     else:
-        up = sg32.gtype == GType.BLOCK_ARROW_UP
+        up = gtype == GType.BLOCK_ARROW_UP
         Ld, Lo, Li = block_arrow_llt_pallas(diag, off, up=up,
-                                            interpret=interpret)
+                                            interpret=interpret, pack=pack)
         H = block_arrow_solve_pallas(Lo, Li, eye_b, up=up,
-                                     interpret=interpret)
-    H = H.reshape(n, n)
+                                     interpret=interpret, pack=pack)
+    H = H.reshape(B, n, n)
     # The in-kernel Cholesky clamps pivots at 1e-30 instead of producing
     # NaN, so a non-SPD (or f32-unfactorable) chain shows up as a collapsed
     # factor diagonal: flag when min(diag L) < 1e-6 * max(diag L).
-    d = jnp.diagonal(Ld[0], axis1=-2, axis2=-1)
-    posdef = jnp.min(d) > 1e-6 * jnp.max(d)
+    d = jnp.diagonal(Ld, axis1=-2, axis2=-1).reshape(B, nb * s)
+    posdef = jnp.min(d, axis=1) > 1e-6 * jnp.max(d, axis=1)
     return H, posdef
+
+
+def _structured_inverse_pallas(sg32: StructuredG, interpret: bool):
+    """Single-problem wrapper over :func:`_structured_inverse_pallas_batch`."""
+    H, posdef = _structured_inverse_pallas_batch(
+        sg32.diag[None], sg32.off[None], sg32.gtype, interpret)
+    return H[0], posdef[0]
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "ir_steps", "backend",
@@ -317,3 +327,96 @@ def solve_structured_fast(
     term = jnp.where(state.term == RUNNING, MAX_ITER_REACHED, state.term)
     state = _dc.replace(state, term=term.astype(jnp.int32))
     return _refine(pb, state, ir_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "ir_steps", "backend",
+                                             "interpret", "pack"))
+def solve_structured_fast_batch(
+    sgs: StructuredG,
+    a: jax.Array,
+    scs: Union[StructuredC, jax.Array],
+    l: jax.Array,
+    u: jax.Array,
+    xl: Optional[jax.Array] = None,
+    xu: Optional[jax.Array] = None,
+    opt: SolverOptions = SolverOptions(),
+    ir_steps: int = 3,
+    backend: str = "auto",
+    interpret: bool = False,
+    pack: Optional[int] = None,
+) -> GIResult:
+    """Batched structured solve: every array is batch-leading (``sgs.diag``
+    is (B, nb, s, s), ``a`` is (B, n), ...).
+
+    This is the throughput form of :func:`solve_structured_fast`: the f32
+    init runs the problem-packed fused Pallas block-LLT + identity-solve
+    kernels ONCE for the whole batch (O(nb s^3) per problem vs the dense
+    engine's O(n^3) Cholesky + O(n^3) inverse assembly -- the reason the
+    reference's structured layer exists, tests/BlockGISolverTest.in.cpp:
+    251-268), the active-set loop is the vmapped explicit-operator
+    iteration, and finalization is the batched f64-residual refinement.
+    Semantics match ``vmap(solve_structured_fast)``.
+    """
+    import dataclasses as _dc
+
+    from ..solver.fast import (
+        _init_fast_from_ops,
+        _refine_batch,
+        fast_iteration,
+    )
+
+    if backend == "auto":
+        dflt = jax.config.jax_default_device
+        platform = dflt.platform if dflt is not None else jax.default_backend()
+        backend = "pallas" if platform == "tpu" else "xla"
+
+    f32 = jnp.float32
+    B = a.shape[0]
+    n = sgs.nb * sgs.s
+    inf = jnp.asarray(jnp.inf, a.dtype)
+    if xl is None:
+        xl = jnp.full((B, n), -inf, a.dtype)
+    if xu is None:
+        xu = jnp.full((B, n), inf, a.dtype)
+    pbs = jax.vmap(
+        lambda sg, av, sc, lv, uv, xlv, xuv: structured_qp_problem(
+            sg, av, sc, lv, uv, xlv, xuv))(sgs, a, scs, l, u, xl, xu)
+    pb32 = pbs.with_dtype(f32)
+    opt32 = opt.with_(dtype=f32, zero_z_threshold=1e-6)
+
+    diag32 = sgs.diag.astype(f32)
+    off32 = None if sgs.off is None else sgs.off.astype(f32)
+    if backend == "pallas":
+        H, posdef = _structured_inverse_pallas_batch(
+            diag32, off32, sgs.gtype, interpret, pack=pack)
+        H = jnp.where(posdef[:, None, None], H,
+                      jnp.eye(n, dtype=f32)[None])
+    else:
+        def one_inv(d, o):
+            fac = _dc.replace(sgs, diag=d, off=o).llt()
+            pd = jnp.all(jnp.isfinite(fac.diag))
+            J0 = fac.inverse_transpose()
+            J0 = jnp.where(pd, J0, jnp.eye(n, dtype=f32))
+            return J0 @ J0.T, pd
+
+        H, posdef = jax.vmap(one_inv)(diag32, off32)
+    x = -jnp.einsum("bij,bj->bi", H, pb32.a)
+    x = jnp.where(posdef[:, None], x, 0.0)
+
+    state0 = jax.vmap(
+        lambda p, Hi, xi, pd: _init_fast_from_ops(p, Hi, xi, pd, opt32))(
+        pb32, H, x, posdef)
+
+    max_iter = jnp.asarray(opt.max_iter, jnp.int32)
+
+    def run(pb_i, st):
+        return jax.lax.while_loop(
+            lambda s: (s.term == RUNNING) & (s.it < max_iter),
+            lambda s: fast_iteration(pb_i, s, opt32),
+            st)
+
+    states = jax.vmap(run)(pb32, state0)
+    from ..types import MAX_ITER_REACHED
+    term = jnp.where(states.term == RUNNING, MAX_ITER_REACHED, states.term)
+    states = _dc.replace(states, term=term.astype(jnp.int32))
+    return _refine_batch(pbs, states, ir_steps)

@@ -95,3 +95,57 @@ def test_box_batched():
     pbs = jax.vmap(box_qp_problem)(x0, c, b, xl, xu)
     ok = jax.vmap(check_kkt)(batch.x, batch.multipliers, pbs)
     assert bool(jnp.all(ok))
+
+
+def test_box_closed_form_vs_gi_machinery():
+    """The closed-form solver must match the GI-machinery variant (the
+    literal reference code path, ref BoxAndSingleConstraintSolver.cpp:46-94)
+    bitwise-tolerance on non-degenerate problems."""
+    from jrlqp_tpu.solver.box_single import solve_box_gi
+
+    rng = np.random.default_rng(11)
+    for act in (False, True):
+        for _ in range(6):
+            x0, c, b, xl, xu = _generate(rng, 9, act=act, act_level=0.4)
+            args = [jnp.asarray(v) for v in (x0, c, b, xl, xu)]
+            res = jit_box(*args, SolverOptions())
+            gi = solve_box_gi(*args)
+            assert int(res.status) == int(gi.status) == 0
+            np.testing.assert_allclose(np.asarray(res.x), np.asarray(gi.x),
+                                       atol=1e-9)
+            np.testing.assert_allclose(np.asarray(res.multipliers),
+                                       np.asarray(gi.multipliers), atol=1e-9)
+
+
+def test_box_infeasible_detected():
+    """bl beyond the box's best corner => INFEASIBLE (ref: the generic
+    loop's t >= bigBnd check, src/DualSolver.cpp:131)."""
+    rng = np.random.default_rng(12)
+    for _ in range(5):
+        x0, c, _, xl, xu = _generate(rng, 6, act=True)
+        b = float(np.where(c > 0, xu, xl) @ c) + 0.5   # unreachable
+        res = jit_box(jnp.asarray(x0), jnp.asarray(c), jnp.asarray(b),
+                      jnp.asarray(xl), jnp.asarray(xu), SolverOptions())
+        assert int(res.status) == int(TerminationStatus.INFEASIBLE)
+
+
+def test_box_degenerate_corner():
+    """bl exactly at the best corner: the feasible set is one point; the
+    closed form must find it exactly (the dense GI solver's active-set
+    pivoting declares such measure-zero sets infeasible)."""
+    from jrlqp_tpu.testing.kkt import kkt_residual
+
+    rng = np.random.default_rng(13)
+    hits = 0
+    for _ in range(10):
+        x0, c, _, xl, xu = _generate(rng, 6, act=True)
+        corner = np.where(c > 0, xu, xl)
+        b = float(corner @ c)
+        args = [jnp.asarray(v) for v in (x0, c, b, xl, xu)]
+        res = jit_box(*args, SolverOptions())
+        if int(res.status) == 0:          # (a tie-rounding INFEASIBLE is ok)
+            hits += 1
+            np.testing.assert_allclose(np.asarray(res.x), corner, atol=1e-9)
+            pb = box_qp_problem(*args)
+            assert float(kkt_residual(res.x, res.multipliers, pb)) <= 1e-9
+    assert hits >= 7

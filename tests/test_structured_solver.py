@@ -217,3 +217,41 @@ def test_structured_fast_pallas_non_spd_flagged():
         sg, jnp.zeros(n), sc, jnp.full(m, -1.0), jnp.full(m, 1.0),
         backend="pallas", interpret=True)
     assert int(res.status) == int(TerminationStatus.NON_POS_HESSIAN)
+
+
+@pytest.mark.parametrize("gtype", [GType.TRI_BLOCK_DIAGONAL,
+                                   GType.BLOCK_ARROW_DOWN])
+def test_structured_fast_batch_matches_vmapped(gtype):
+    """solve_structured_fast_batch == vmap(solve_structured_fast): the
+    packed batched init (one fused kernel launch for the whole batch) must
+    reproduce the per-problem path, and agree with the f64 structured
+    oracle."""
+    from jrlqp_tpu.structured.solver import (
+        solve_structured_fast,
+        solve_structured_fast_batch,
+    )
+
+    rng = np.random.default_rng(int(gtype) + 11)
+    nb, s, mc, B = 3, 8, 2, 5
+    probs = [_rand_structured(rng, nb, s, mc, gtype) for _ in range(B)]
+    sgs = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in probs])
+    a_b = jnp.stack([p[1] for p in probs])
+    scs = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[2] for p in probs])
+    l_b = jnp.stack([p[3] for p in probs])
+    u_b = jnp.stack([p[4] for p in probs])
+
+    res_b = solve_structured_fast_batch(sgs, a_b, scs, l_b, u_b,
+                                        backend="pallas", interpret=True,
+                                        pack=2)
+    res_1 = jax.vmap(
+        lambda sg, a, sc, l, u: solve_structured_fast(
+            sg, a, sc, l, u, backend="pallas", interpret=True)
+    )(sgs, a_b, scs, l_b, u_b)
+    assert np.array_equal(np.asarray(res_b.status), np.asarray(res_1.status))
+    np.testing.assert_allclose(np.asarray(res_b.x), np.asarray(res_1.x),
+                               atol=1e-7)
+    for k, (sg, a, sc, l, u) in enumerate(probs):
+        ref = solve_structured(sg, a, sc, l, u)
+        assert int(res_b.status[k]) == int(ref.status) == 0
+        np.testing.assert_allclose(np.asarray(res_b.x[k]),
+                                   np.asarray(ref.x), atol=1e-7)
