@@ -47,7 +47,8 @@ def main():
     ap.add_argument("--out", default="benchmarks/out")
     ap.add_argument("--solver", default="f64", choices=["f64", "mixed", "refined", "pallas", "pallas_rescued"])
     ap.add_argument("--suite", default="all",
-                    choices=["all", "size", "active", "warm", "decomp", "box", "ik", "scaling"])
+                    choices=["all", "size", "active", "warm", "decomp",
+                             "box", "ik", "scaling", "corpus"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--sizes", default=None,
                     help="comma-separated n values for the size suite "
@@ -160,6 +161,48 @@ def main():
                 "the hardware limit of this environment (single chip).")
         with open(path, "w") as fh:
             json.dump({"note": note, "rows": old + rows}, fh, indent=2)
+
+    if args.suite in ("all", "corpus"):
+        # pass-rate artifact on the vendored Maros-Meszaros problems
+        # (ref: GoldfarbIdnaniSolverTest.cpp:261-310). f* within 1e-6
+        # relative, KKT residual <= 1e-8.
+        from jrlqp_tpu.io.maros_meszaros import MAROS_MESZAROS
+        from jrlqp_tpu.io import run_corpus
+
+        vend_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "data", "qps")
+        strict = ("hs21", "hs35", "hs35mod", "hs76", "qptest", "hs118",
+                  "hs268", "s268")
+        singular = ("hs51", "hs52", "hs53", "genhs28", "tame")
+        ent_s = [e for e in MAROS_MESZAROS if e.name in strict]
+        ent_g = [e for e in MAROS_MESZAROS if e.name in singular]
+        corpus = {}
+        for eng in ("f64", "pallas_rescued"):
+            rows = run_corpus(qps_dir=vend_dir, entries=ent_s,
+                              bucketed=True, engine=eng)
+            for r in rows:
+                r["green"] = bool(r.get("status") == "SUCCESS"
+                                  and r.get("obj_ok")
+                                  and r.get("kkt_residual", 1.0) <= 1e-8)
+            corpus[eng] = rows
+        rows_g = run_corpus(qps_dir=vend_dir, entries=ent_g,
+                            bucketed=False, engine="f64")
+        for r in rows_g:
+            r["green"] = bool(
+                r.get("status") == "NON_POS_HESSIAN"
+                or (r.get("status") == "SUCCESS" and r.get("obj_ok")))
+        corpus["singular_f64"] = rows_g
+        n_green = sum(r["green"] for rows in corpus.values() for r in rows)
+        n_total = sum(len(rows) for rows in corpus.values())
+        corpus["summary"] = dict(
+            problems_vendored=len(strict) + len(singular),
+            rows_green=n_green, rows_total=n_total,
+            note=("strict rows: SUCCESS + f* within 1e-6 rel + KKT<=1e-8; "
+                  "singular rows (cond>1e8, excluded by the reference's "
+                  "filter): detected NON_POS_HESSIAN or solved to f*"))
+        print(json.dumps(corpus["summary"]))
+        with open(os.path.join(args.out, "corpus.json"), "w") as fh:
+            json.dump(corpus, fh, indent=2)
 
     if args.suite in ("all", "ik"):
         # head-to-head at the historical batch plus a throughput batch

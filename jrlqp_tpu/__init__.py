@@ -33,11 +33,14 @@ from .solver.state import GIResult, GIState
 from .solver.warm_start import solve_warm
 from .structured import GType, StructuredC, StructuredG, solve_structured
 from .types import ActivationStatus, SolverOptions, TerminationStatus
+from .validation import inconsistent_mask, well_formed
 
 __version__ = "0.1.0"
 
 __all__ = [
     "QPProblem",
+    "well_formed",
+    "inconsistent_mask",
     "LeastSquareProblem",
     "pad_problem",
     "stack_problems",

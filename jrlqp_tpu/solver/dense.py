@@ -34,6 +34,7 @@ from ..types import (
     EQUALITY,
     FIXED,
     INACTIVE,
+    INCONSISTENT_INPUT,
     INFEASIBLE,
     LINEAR_DEPENDENCY_DETECTED,
     LOWER,
@@ -376,6 +377,10 @@ def init_state(pb: QPProblem, opt: SolverOptions) -> GIState:
 
     _, state = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state))
     term = jnp.where(over & (state.term == RUNNING), OVERCONSTRAINED_PROBLEM, state.term)
+    if opt.validate:
+        from ..validation import inconsistent_mask
+
+        term = jnp.where(inconsistent_mask(pb), INCONSISTENT_INPUT, term)
     return GIState(
         x=state.x, f=state.f, J=state.J, R=state.R, status=state.status,
         aorder=state.aorder, u=state.u, q=state.q, it=state.it,

@@ -320,6 +320,11 @@ def _init_fast_from_ops(pb: QPProblem, H, x, posdef, opt: SolverOptions
     _, state = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state))
     term = jnp.where(over & (state.term == RUNNING), OVERCONSTRAINED_PROBLEM,
                      state.term)
+    if opt.validate:
+        from ..types import INCONSISTENT_INPUT
+        from ..validation import inconsistent_mask
+
+        term = jnp.where(inconsistent_mask(pb), INCONSISTENT_INPUT, term)
     return dataclasses.replace(state, term=term.astype(jnp.int32))
 
 
@@ -768,6 +773,13 @@ def _init_fast_warm(pb: QPProblem, as_hint: jax.Array,
         hscale=jnp.trace(Ginv),
     )
     state = _tree_where(indep, warm, _init_fast(pb, opt))
+    if opt.validate:
+        from ..types import INCONSISTENT_INPUT
+        from ..validation import inconsistent_mask
+
+        state = dataclasses.replace(state, term=jnp.where(
+            inconsistent_mask(pb), INCONSISTENT_INPUT,
+            state.term).astype(jnp.int32))
     return _deactivate_negative_u(pb, state, b_act)
 
 

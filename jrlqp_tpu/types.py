@@ -73,6 +73,12 @@ class SolverOptions:
     max_iter: int = 500
     big_bnd: float = BIG_BND
     warm_start: bool = False
+    # opt-in traced input validation: lanes with inverted/NaN bounds or
+    # non-finite G/a/C terminate with INCONSISTENT_INPUT instead of
+    # producing garbage (analog of the reference's wellFormed validators,
+    # ref include/jrl-qp/test/problems.h:16-146; off by default -- it adds
+    # a data pass per solve)
+    validate: bool = False
     # Numerical tolerances mirroring the reference's inline constants.
     zero_z_threshold: float = 1e-14  # ref GoldfarbIdnaniSolver.cpp:174
     # dtype of all solver arithmetic. float64 is required for the
@@ -95,6 +101,7 @@ FIXED = int(ActivationStatus.FIXED)
 
 RUNNING = int(TerminationStatus.RUNNING)
 SUCCESS = int(TerminationStatus.SUCCESS)
+INCONSISTENT_INPUT = int(TerminationStatus.INCONSISTENT_INPUT)
 NON_POS_HESSIAN = int(TerminationStatus.NON_POS_HESSIAN)
 INFEASIBLE = int(TerminationStatus.INFEASIBLE)
 MAX_ITER_REACHED = int(TerminationStatus.MAX_ITER_REACHED)

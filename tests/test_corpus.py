@@ -126,30 +126,58 @@ def test_corpus_parsers_agree_on_synthesized_files(tmp_path):
 
 VENDORED_DIR = __import__("os").path.join(
     __import__("os").path.dirname(__file__), "data", "qps")
-VENDORED = ("hs21", "hs35", "hs76")
+# Vendored from published formulations (tests/data/qps/generate_vendored.py),
+# each validated against the table's independent f*. The reference's
+# filtered run covers the strictly-convex members (cond <= 1e8,
+# ref: GoldfarbIdnaniSolverTest.cpp:261-274); the singular-G members are
+# excluded by that filter in the reference but solve (or are detected)
+# here. dual1-4/dualc*/primal* have machine-generated dense data that is
+# not reconstructible from their problem statements -- external-only, as
+# in the reference (WITH_QPS_TESTS + QPS_DIR).
+VENDORED_STRICT = ("hs21", "hs35", "hs35mod", "hs76", "qptest", "hs118",
+                   "hs268", "s268")
+VENDORED_SINGULAR = ("hs51", "hs52", "hs53", "genhs28", "tame")
 
 
-def _vendored_entries():
+def _vendored_entries(names):
     from jrlqp_tpu.io.maros_meszaros import MAROS_MESZAROS
-    return [e for e in MAROS_MESZAROS if e.name in VENDORED]
+    return [e for e in MAROS_MESZAROS if e.name in names]
 
 
-@pytest.mark.parametrize("engine", ["f64", "pallas"])
+@pytest.mark.parametrize("engine", ["f64", "pallas_rescued"])
 def test_vendored_public_problems_match_fstar(engine):
-    """hs21/hs35/hs76 (vendored QPS files written from the published
-    Hock-Schittkowski formulations) must hit the published f* from the
-    Maros-Meszaros table at 1e-6 relative through both the reference-
-    faithful f64 engine and the Pallas throughput engine
+    """The strictly-convex vendored problems must hit the published f*
+    from the Maros-Meszaros table at 1e-6 relative through both the
+    reference-faithful f64 engine and the Pallas production configuration
+    (kernel + IR + f64 rescue; interpret off-TPU)
     (ref acceptance: GoldfarbIdnaniSolverTest.cpp:304-306)."""
-    entries = _vendored_entries()
-    assert len(entries) == 3
+    entries = _vendored_entries(VENDORED_STRICT)
+    assert len(entries) == len(VENDORED_STRICT)
     results = run_corpus(qps_dir=VENDORED_DIR, entries=entries,
                          bucketed=True, engine=engine)
-    assert len(results) == 3
+    assert len(results) == len(VENDORED_STRICT)
     for r in results:
         assert r["status"] == "SUCCESS", r
         assert r["obj_ok"], r
         assert r["kkt_residual"] <= 1e-8, r
+
+
+def test_vendored_singular_problems_f64():
+    """The singular-G vendored problems (cond > 1e8, skipped by the
+    reference's filter): the f64 engine must either detect the
+    non-SPD Hessian or solve to the published f* -- equality
+    auto-activation restricts the iteration to the constraint manifold
+    where the objective is strictly convex, so SUCCESS+f* is the common
+    outcome; a NON_POS_HESSIAN detection (platform-dependent Cholesky of
+    an exactly singular matrix) is also correct."""
+    entries = _vendored_entries(VENDORED_SINGULAR)
+    assert len(entries) == len(VENDORED_SINGULAR)
+    results = run_corpus(qps_dir=VENDORED_DIR, entries=entries,
+                         bucketed=False, engine="f64")
+    for r in results:
+        assert r["status"] in ("SUCCESS", "NON_POS_HESSIAN"), r
+        if r["status"] == "SUCCESS":
+            assert r["obj_ok"], r
 
 
 LARGE_SPECS = [
