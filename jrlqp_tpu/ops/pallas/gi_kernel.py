@@ -76,8 +76,8 @@ def _round_up(x, m):
 
 def _kernel(
     G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref,
-    K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref,
-    x_out, u_out, st_out, ao_out, scal_out, K_out,
+    K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref, fs0_ref,
+    x_out, u_out, st_out, ao_out, scal_out, K_out, fs_out,
     *, n, m, np_, mp_, mtp_, max_iter,
 ):
     f32 = jnp.float32
@@ -98,10 +98,15 @@ def _kernel(
     real_m = iot_m < i32(m)
 
     # scale-aware dependence threshold (see fast._dep_eps): relative to
-    # trace(H0) = trace(G^-1), an upper scale for every later H
-    col_2n = jax.lax.broadcasted_iota(jnp.int32, (2 * np_, np_), 1)
-    tr0 = jnp.sum(jnp.where(row_2n == col_2n, K0_ref[0], f32(0.0)))
-    dep_thr = f32(2e-7) * jnp.maximum(tr0, f32(1e-30))
+    # the INIT-time trace(H0) = trace(G^-1), an upper scale for every later
+    # H. Carried in via fs0 (slot 0) rather than recomputed from K0 so a
+    # resumed run (mid-solve compaction, _pallas_phase2) keeps the original
+    # scale -- the evolved K's trace shrinks as constraints activate and
+    # would loosen the test.
+    tr0 = jnp.maximum(jnp.sum(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 0,
+        fs0_ref[0], f32(0.0))), f32(1e-30))
+    dep_thr = f32(2e-7) * tr0
 
     def gather_row(M, idx):
         mask = jax.lax.broadcasted_iota(jnp.int32, M.shape, 0) == idx
@@ -316,6 +321,7 @@ def _kernel(
     st_out[0] = status
     ao_out[0] = aorder
     K_out[0] = K
+    fs_out[0] = fs0_ref[0]  # carry tr0 forward for resumed runs
     zero = jnp.zeros((1, 1), jnp.int32)
     scal_out[0] = jnp.concatenate(
         [
@@ -330,8 +336,8 @@ def _kernel(
 
 def _kernel_packed(
     G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref,
-    K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref,
-    x_out, u_out, st_out, ao_out, scal_out, K_out,
+    K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref, fs0_ref,
+    x_out, u_out, st_out, ao_out, scal_out, K_out, fs_out,
     *, n, m, np_, mp_, mtp_, max_iter, P,
 ):
     """P problems per grid program, fully vectorized masked iteration.
@@ -366,12 +372,15 @@ def _kernel_packed(
     real_m = iot_m < i32(m)
 
     # scale-aware dependence threshold (see fast._dep_eps): per-problem,
-    # relative to trace(H0) = trace(G^-1) (an upper scale for every later H)
-    r3i = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, np_), 1)
-    c3i = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, np_), 2)
-    tr0 = jnp.sum(jnp.sum(jnp.where(r3i == c3i, K0_ref[0], f32(0.0)),
-                          axis=2), axis=1, keepdims=True)       # (P, 1)
-    dep_thr = f32(2e-7) * jnp.maximum(tr0, f32(1e-30))
+    # relative to the INIT-time trace(H0) = trace(G^-1) (an upper scale for
+    # every later H), carried in via fs0 slot 0 so resumed runs
+    # (mid-solve compaction) keep the original scale instead of the
+    # evolved K's shrunken trace
+    tr0 = jnp.maximum(jnp.sum(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1) == 0,
+        fs0_ref[0], f32(0.0)), axis=1, keepdims=True),
+        f32(1e-30))                                             # (P, 1)
+    dep_thr = f32(2e-7) * tr0
 
     def bmv(A, v):
         """(P, R, C) @ (P, C) -> (P, R), batched on the MXU."""
@@ -576,6 +585,7 @@ def _kernel_packed(
     st_out[0] = status
     ao_out[0] = aorder
     K_out[0] = K
+    fs_out[0] = fs0_ref[0]  # carry tr0 forward for resumed runs
     zero = jnp.zeros((P, 1), jnp.int32)
     scal_out[0] = jnp.concatenate(
         [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
@@ -707,6 +717,10 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         ],
         axis=-1,
     )[:, None, :].astype(jnp.int32)
+    # f32 scalar row: slot 0 carries hscale (trace of the INIT H0) so the
+    # dependence/zero-z thresholds survive a resumed (phase-2) run
+    fscal0 = jnp.zeros((B, 1, 8), f32).at[:, 0, 0].set(
+        state0.hscale.astype(f32))
 
     def spec(*shape):
         # index_map must return int32: bare 0s trace as int64 under x64,
@@ -731,7 +745,7 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         def fold_r(A):   # (B, 1, c) -> (BP, P, c)
             return A.reshape(BP, P, A.shape[2])
 
-        x, uvec, status, aorder, scal, K = pl.pallas_call(
+        x, uvec, status, aorder, scal, K, fs = pl.pallas_call(
             kern,
             grid=(BP,),
             in_specs=[
@@ -739,10 +753,11 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
                 spec(P, mp_), spec(P, np_), spec(P, np_),
                 spec(P, 2 * np_, np_), spec(P, np_), spec(P, np_),
                 spec(P, mtp_), spec(P, np_), spec(P, np_), spec(P, 8),
+                spec(P, 8),
             ],
             out_specs=[
                 spec(P, np_), spec(P, np_), spec(P, mtp_), spec(P, np_),
-                spec(P, 8), spec(P, 2 * np_, np_),
+                spec(P, 8), spec(P, 2 * np_, np_), spec(P, 8),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((BP, P, np_), f32),
@@ -751,11 +766,12 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
                 jax.ShapeDtypeStruct((BP, P, np_), jnp.int32),
                 jax.ShapeDtypeStruct((BP, P, 8), jnp.int32),
                 jax.ShapeDtypeStruct((BP, P, 2 * np_, np_), f32),
+                jax.ShapeDtypeStruct((BP, P, 8), f32),
             ],
             interpret=interpret,
         )(fold_m(G), fold_m(C), fold_r(l), fold_r(u), fold_r(xl),
           fold_r(xu), fold_m(K0), fold_r(x0), fold_r(u0), fold_r(st0),
-          fold_r(ao0), fold_r(sk0), fold_r(scal0))
+          fold_r(ao0), fold_r(sk0), fold_r(scal0), fold_r(fscal0))
         # unfold pack dim and drop batch padding
         x = x.reshape(B, 1, np_)
         uvec = uvec.reshape(B, 1, np_)
@@ -763,26 +779,27 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         aorder = aorder.reshape(B, 1, np_)
         scal = scal.reshape(B, 1, 8)
         K = K.reshape(B, 2 * np_, np_)
-        x, uvec, status, aorder, scal, K = (
+        fs = fs.reshape(B, 1, 8)
+        x, uvec, status, aorder, scal, K, fs = (
             x[:Borig], uvec[:Borig], status[:Borig], aorder[:Borig],
-            scal[:Borig], K[:Borig])
+            scal[:Borig], K[:Borig], fs[:Borig])
     else:
         kern = functools.partial(
             _kernel, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
             max_iter=max_iter
         )
-        x, uvec, status, aorder, scal, K = pl.pallas_call(
+        x, uvec, status, aorder, scal, K, fs = pl.pallas_call(
             kern,
             grid=(B,),
             in_specs=[
                 spec(np_, np_), spec(mp_, np_), spec(1, mp_), spec(1, mp_),
                 spec(1, np_), spec(1, np_), spec(2 * np_, np_),
                 spec(1, np_), spec(1, np_), spec(1, mtp_), spec(1, np_),
-                spec(1, np_), spec(1, 8),
+                spec(1, np_), spec(1, 8), spec(1, 8),
             ],
             out_specs=[
                 spec(1, np_), spec(1, np_), spec(1, mtp_), spec(1, np_),
-                spec(1, 8), spec(2 * np_, np_),
+                spec(1, 8), spec(2 * np_, np_), spec(1, 8),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((B, 1, np_), f32),
@@ -791,14 +808,15 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
                 jax.ShapeDtypeStruct((B, 1, np_), jnp.int32),
                 jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
                 jax.ShapeDtypeStruct((B, 2 * np_, np_), f32),
+                jax.ShapeDtypeStruct((B, 1, 8), f32),
             ],
             interpret=interpret,
-        )(G, C, l, u, xl, xu, K0, x0, u0, st0, ao0, sk0, scal0)
+        )(G, C, l, u, xl, xu, K0, x0, u0, st0, ao0, sk0, scal0, fscal0)
 
     if inv is not None:  # restore caller order after presort
-        x, uvec, status, aorder, scal, K = (
+        x, uvec, status, aorder, scal, K, fs = (
             jnp.take(a, inv, axis=0)
-            for a in (x, uvec, status, aorder, scal, K))
+            for a in (x, uvec, status, aorder, scal, K, fs))
     status_full = jnp.concatenate(
         [status[:, 0, :m], status[:, 0, mp_:mp_ + n]], axis=1
     )
@@ -820,4 +838,5 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         sc_status=scal[:, 0, 5],
         H=K[:, :n, :n],
         Ns=K[:, np_:np_ + n, :n],
+        hscale=fs[:, 0, 0],
     )

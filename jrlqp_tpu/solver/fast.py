@@ -702,7 +702,9 @@ def _state_from_kernel_out(out: dict, B: int) -> FastState:
         skip1=out["skip1"].astype(bool),
         sc_idx=out["sc_idx"],
         sc_status=out["sc_status"],
-        hscale=jnp.trace(out["H"], axis1=-2, axis2=-1),
+        # the kernel carries the INIT-time trace(H0) through fs0/fs_out, so
+        # a resumed (phase-2) run keeps the original dependence scale
+        hscale=out["hscale"],
     )
 
 
@@ -1040,16 +1042,14 @@ def solve_refined_pallas_compacted(
     .. warning:: **Experimental -- measured SLOWER than the single-launch
        kernel on the relayed-TPU environment** (TPU round trips for the
        unfinished-lane gather plus a per-bucket-size recompile dominate;
-       bench: ~1.0k vs 16.6k solves/s at batch 16384). There is also a
-       known accuracy caveat: the phase-2 kernel re-derives its
-       scale-aware dependence threshold from the trace of the *evolved*
-       operator K (which shrinks toward 0 as constraints activate, see
-       gi_kernel dep_thr) instead of the initial H0 trace, so
-       hard/late-finishing lanes can mis-detect dependence (~3%% KKT
-       failures at act_frac 0.3). Use :func:`solve_refined_pallas`
-       (optionally with :func:`solve_refined_pallas_rescued`) in
-       production; this wrapper is kept as the starting point for a
-       locally-attached-TPU deployment where the host round trip is ~us.
+       bench: ~1.0k vs 16.6k solves/s at batch 16384). Accuracy-wise it is
+       now equivalent to the single-launch kernel: the init-time trace(H0)
+       is carried through the kernel's scalar state (gi_kernel fs0/fs_out),
+       so phase 2 keeps the original dependence/zero-z scale. Use
+       :func:`solve_refined_pallas` (optionally with
+       :func:`solve_refined_pallas_rescued`) in production; this wrapper is
+       kept as the starting point for a locally-attached-TPU deployment
+       where the host round trip is ~us.
     """
     import numpy as np
 

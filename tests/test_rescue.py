@@ -108,3 +108,31 @@ def test_compacted_phase1_covers_all():
                                           interpret=True)
     np.testing.assert_allclose(np.asarray(comp.x), np.asarray(plain.x),
                                atol=1e-12)
+
+
+def test_phase2_keeps_init_dependence_scale():
+    """The kernel must carry the INIT-time trace(H0) through its scalar
+    state (gi_kernel fs0/fs_out): after a truncated phase-1 run, the
+    resumed state's hscale equals the initial one, not the evolved
+    (shrunken) trace of K -- the dependence threshold would otherwise
+    loosen on hard lanes (round-3 VERDICT weak #5)."""
+    import dataclasses
+
+    from jrlqp_tpu.solver.fast import (
+        _init_fast,
+        _pallas_phase1,
+        _state_from_kernel_out,
+    )
+    from jrlqp_tpu.testing.batch_gen import random_qp_batch
+
+    opt = SolverOptions(max_iter=100)
+    pbs = random_qp_batch(jax.random.key(23), 4, 10, 16, act_frac=0.6)
+    pb32 = pbs.with_dtype(jnp.float32)
+    opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
+    st1 = _pallas_phase1(pbs, opt, 5, True, None)   # truncated run
+    np.testing.assert_allclose(np.asarray(st1.hscale),
+                               np.asarray(state0.hscale), rtol=1e-6)
+    # the evolved operator's trace HAS shrunk (constraints activated)
+    tr_evolved = np.trace(np.asarray(st1.H), axis1=-2, axis2=-1)
+    assert (tr_evolved < np.asarray(state0.hscale) - 1e-6).any()
