@@ -173,7 +173,8 @@ def main():
             os.path.abspath(__file__))), "tests", "data", "qps")
         strict = ("hs21", "hs35", "hs35mod", "hs76", "qptest", "hs118",
                   "hs268", "s268")
-        singular = ("hs51", "hs52", "hs53", "genhs28", "tame")
+        singular = ("hs51", "hs52", "hs53", "genhs28", "tame",
+                    "cvxqp1_s", "cvxqp2_s", "cvxqp3_s")
         ent_s = [e for e in MAROS_MESZAROS if e.name in strict]
         ent_g = [e for e in MAROS_MESZAROS if e.name in singular]
         corpus = {}

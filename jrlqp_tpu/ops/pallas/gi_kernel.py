@@ -483,20 +483,20 @@ def _kernel_packed(
         u_stepped = jnp.where(iot_n == q, u_stepped + t_safe, u_stepped)
         x_new = jnp.where(~dual_step, x + t_safe * z, x)
 
-        # ---- add update ----
+        # ---- per-problem step kind ----
+        stop = success | infeasible
+        adv = active & ~stop
+        add_sel = adv & full_step
+        rem_sel = adv & ~full_step
+
+        # ---- add-side rank-one vectors ----
         dependent = nz <= dep_thr * nn
         dsafe = jnp.where(dependent, f32(1.0), nz)
         zn = z / dsafe
-        K_add = K - bouter(jnp.concatenate([z, r_head], axis=1), zn)
-        K_add = jnp.where(row3 == (i32(np_) + q)[:, :, None],
-                          zn[:, None, :], K_add)
-        status_add = jnp.where(iot_mt == sc_idx_n, sc_st_n, status)
-        aorder_add = jnp.where(iot_n == q, sc_idx_n, aorder)
-        statk_add = jnp.where(iot_n == q, sc_st_n.astype(f32), statk)
         term_add = jnp.where(dependent, i32(LINEAR_DEPENDENCY_DETECTED),
                              term)
 
-        # ---- remove update ----
+        # ---- remove-side rank-one vectors ----
         lmask3 = row3 == (i32(np_) + lpos)[:, :, None]
         nl = jnp.sum(jnp.where(lmask3, K, f32(0.0)), axis=1)    # (P, np_)
         v = bmv(G, nl)
@@ -505,14 +505,31 @@ def _kernel_packed(
                      keepdims=True)
         wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
         wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, f32(0.0))
-        K_rem = K - bouter(jnp.concatenate([-nl, wmask], axis=1) / wl_safe,
-                           nl)
-        rolled = pltpu.roll(K_rem, i32(2 * np_ - 1), axis=1)
-        lrow = (i32(np_) + lpos)[:, :, None]
+
+        # ---- ONE fused rank-one update: both add and remove are
+        # K -= uvec vvec^T, so select the vectors per problem and pay a
+        # single (P, 2np_, np_) outer product ----
+        u_upd = jnp.where(add_sel, jnp.concatenate([z, r_head], axis=1),
+                          jnp.concatenate([-nl, wmask], axis=1) / wl_safe)
+        v_upd = jnp.where(add_sel, zn, nl)
+        u_upd = jnp.where(adv, u_upd, f32(0.0))  # frozen lanes: no-op
+        K_upd = K - bouter(u_upd, v_upd)
+        # add-specific: write the new N* row at slot q
         qrow = (i32(np_) + q)[:, :, None]
-        K_rem = jnp.where((row3 >= lrow) & (row3 < qrow - one), rolled,
-                          K_rem)
-        K_rem = jnp.where(row3 >= qrow - one, f32(0.0), K_rem)
+        K_n = jnp.where(add_sel[:, :, None] & (row3 == qrow),
+                        zn[:, None, :], K_upd)
+        # remove-specific: delete N* row l (shift rows up), zero >= q-1
+        rolled = pltpu.roll(K_upd, i32(2 * np_ - 1), axis=1)
+        lrow = (i32(np_) + lpos)[:, :, None]
+        rsel3 = rem_sel[:, :, None]
+        K_n = jnp.where(rsel3 & (row3 >= lrow) & (row3 < qrow - one),
+                        rolled, K_n)
+        K_n = jnp.where(rsel3 & (row3 >= qrow - one), f32(0.0), K_n)
+
+        # ---- bookkeeping rows (cheap (P, np_)/(P, mtp_) selects) ----
+        status_add = jnp.where(iot_mt == sc_idx_n, sc_st_n, status)
+        aorder_add = jnp.where(iot_n == q, sc_idx_n, aorder)
+        statk_add = jnp.where(iot_n == q, sc_st_n.astype(f32), statk)
         rem_idx = jnp.sum(jnp.where(
             iot_n == lpos,
             jnp.clip(aorder, zero_i, i32(mtp_ - 1)).astype(f32), f32(0.0)),
@@ -529,20 +546,9 @@ def _kernel_packed(
         u_rem = jnp.where((iot_n >= lpos) & (iot_n < q), u_roll, u_stepped)
         u_rem = jnp.where(iot_n >= q, f32(0.0), u_rem)
 
-        # ---- combine per problem (masked select, no divergence) ----
-        stop = success | infeasible
-        adv = active & ~stop
-        add_sel = adv & full_step
-        rem_sel = adv & ~full_step
-
-        def sel3(a, b, c):
-            return jnp.where(add_sel[:, :, None], a,
-                             jnp.where(rem_sel[:, :, None], b, c))
-
         def sel2(a, b, c):
             return jnp.where(add_sel, a, jnp.where(rem_sel, b, c))
 
-        K_n = sel3(K_add, K_rem, K)
         x_n = jnp.where(adv, x_new, x)
         u_n = sel2(u_stepped, u_rem, uvec)
         status_n = sel2(status_add, status_rem, status)
@@ -602,16 +608,17 @@ def _auto_pack(np_: int, mp_: int) -> int:
 
     Empirical model from v5e compile failures: the per-problem scoped
     footprint is ~5x the raw f32 bytes of (G + C + 3K + rows); packs of
-    {16, 8, 4, 2, 1} are tried against a 13MB budget (headroom under the
-    ~16MB/core VMEM of v4/v5e/v5p/v6e). The model is empirical: on a
-    generation with a different scoped limit a too-large auto pack fails
-    LOUDLY at Mosaic compile time -- override with ``pack=`` or the
-    ``JRLQP_VMEM_BUDGET_MB`` env var in that case."""
+    {32, 24, 16, 8, 4, 2, 1} are tried against a 13MB budget (headroom
+    under the ~16MB/core VMEM of v4/v5e/v5p/v6e). The model is empirical:
+    on a generation with a different scoped limit a too-large auto pack
+    fails LOUDLY at Mosaic compile time, and solve_refined_pallas
+    self-heals by halving -- override with ``pack=`` or the
+    ``JRLQP_VMEM_BUDGET_MB`` env var otherwise."""
     raw = (np_ * np_ + mp_ * np_ + 3 * (2 * np_ * np_)
            + 8 * np_ + 4 * mp_) * 4
     per_problem = 5 * raw
     budget = int(os.environ.get("JRLQP_VMEM_BUDGET_MB", "13")) * 2 ** 20
-    for pack in (16, 8, 4, 2):
+    for pack in (32, 24, 16, 8, 4, 2):
         if pack * per_problem <= budget:
             return pack
     return 1

@@ -184,6 +184,37 @@ def problems():
         G=G, a=np.zeros(n), C=A, l=np.ones(8), u=np.ones(8),
         xl=np.full(n, -INF), xu=np.full(n, INF)))
 
+    # cvxqp1/2/3_s -- the CUTE CVXQP generator at n=100 (reconstruction
+    # validated against all three published f* to 8 significant digits):
+    #   f = sum_i 0.5 * i * (x_i + x_{(2i-1 mod n)+1} + x_{(3i-1 mod n)+1})^2
+    #   s.t. x_i + 2 x_{(4i-1 mod n)+1} + 3 x_{(5i-1 mod n)+1} = 6 (i<=m),
+    #   0.1 <= x <= 10;  m = n/2, n/4, 3n/4 for variants 1, 2, 3
+    n = 100
+    Mrows = np.zeros((n, n))
+    wdiag = np.zeros(n)
+    for i in range(1, n + 1):
+        Mrows[i - 1, i - 1] += 1
+        Mrows[i - 1, (2 * i - 1) % n] += 1
+        Mrows[i - 1, (3 * i - 1) % n] += 1
+        wdiag[i - 1] = float(i)
+    Gcvx = (Mrows.T * wdiag) @ Mrows
+    for variant, mc in (("1", 50), ("2", 25), ("3", 75)):
+        A = np.zeros((mc, n))
+        for i in range(1, mc + 1):
+            A[i - 1, i - 1] += 1
+            A[i - 1, (4 * i - 1) % n] += 2
+            A[i - 1, (5 * i - 1) % n] += 3
+        out.append(qp(
+            f"CVXQP{variant}_S",
+            f"CVXQP{variant}_S (CUTE CVXQP{variant} at n=100, m={mc})\n"
+            "f = sum_i 0.5*i*(x_i + x_{(2i-1 mod n)+1} + x_{(3i-1 mod n)+1})^2\n"
+            "s.t. x_i + 2x_{(4i-1 mod n)+1} + 3x_{(5i-1 mod n)+1} = 6, "
+            "0.1 <= x <= 10\n"
+            "reconstruction validated against the published f* (8 digits)",
+            G=Gcvx, a=np.zeros(n), C=A,
+            l=np.full(mc, 6.0), u=np.full(mc, 6.0),
+            xl=np.full(n, 0.1), xu=np.full(n, 10.0)))
+
     # tame -- min (x-y)^2 s.t. x+y=1, x,y >= 0 (f* = 0)
     out.append(qp(
         "TAME",

@@ -136,7 +136,8 @@ VENDORED_DIR = __import__("os").path.join(
 # in the reference (WITH_QPS_TESTS + QPS_DIR).
 VENDORED_STRICT = ("hs21", "hs35", "hs35mod", "hs76", "qptest", "hs118",
                    "hs268", "s268")
-VENDORED_SINGULAR = ("hs51", "hs52", "hs53", "genhs28", "tame")
+VENDORED_SINGULAR = ("hs51", "hs52", "hs53", "genhs28", "tame",
+                     "cvxqp1_s", "cvxqp2_s", "cvxqp3_s")
 
 
 def _vendored_entries(names):
