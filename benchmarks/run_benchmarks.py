@@ -94,7 +94,10 @@ def main():
         merge_csv(os.path.join(args.out, f"solvers_{args.solver}.csv"), rows)
 
     if args.suite in ("all", "box"):
-        r = bench_box_single(batch=max(args.batch, 1024))
+        # the closed-form solver finishes 1024 problems inside one relay
+        # round trip (~23ms); 64k amortizes dispatch so the row measures
+        # the solver
+        r = bench_box_single(batch=max(args.batch, 65536))
         print(json.dumps(r))
         with open(os.path.join(args.out, "box_single.json"), "w") as fh:
             json.dump(r, fh, indent=2)

@@ -69,7 +69,7 @@ def _sync(out):
     return out
 
 
-def _retry_relay(fn, attempts: int = 3):
+def _retry_relay(fn, attempts: int = 5):
     """Retry after an executable reload: the relayed TPU backend
     intermittently invalidates loaded programs (InvalidArgument). With the
     persistent compile cache a reload costs seconds, so a few attempts are
@@ -100,9 +100,13 @@ def _timeit(fn: Callable, n_rep: int = 3) -> float:
             done += 1
         except jax.errors.JaxRuntimeError:
             # relay invalidated the loaded program: reload + re-warm
-            # OUTSIDE the clock, then keep timing
+            # OUTSIDE the clock, then keep timing; a failed re-warm ends
+            # the attempt (propagating would lose the whole suite run)
             jax.clear_caches()
-            _retry_relay(lambda: _sync(fn()))
+            try:
+                _retry_relay(lambda: _sync(fn()))
+            except jax.errors.JaxRuntimeError:
+                break
     if not np.isfinite(best):
         raise RuntimeError("all timing repetitions failed (relay)")
     return best
