@@ -59,7 +59,10 @@ PACK = int(PACK) if PACK else None
 
 def main():
     n_dev = len(jax.devices())
-    opt = SolverOptions(max_iter=150)
+    # BENCH_MAX_ITER: diagnostic knob -- running at a reduced cap measures
+    # the kernel's per-iteration cost slope (lanes hitting the cap fail the
+    # KKT gate, which the metric string reports)
+    opt = SolverOptions(max_iter=int(os.environ.get("BENCH_MAX_ITER", "150")))
 
     if SOLVER == "pallas":
         run = jax.jit(lambda p: solve_refined_pallas(p, opt, ir_steps=IR_STEPS,

@@ -36,35 +36,39 @@ from jrlqp_tpu.testing.batch_gen import random_qp_batch
 N, M = 20, 40
 BATCH = int(os.environ.get("WARM_BATCH", "1024"))
 STEPS = int(os.environ.get("WARM_STEPS", "12"))
-# "scan" = whole trajectory as ONE lax.scan dispatch (relay-friendly:
-# the stepwise mode's dozens of per-step device_puts are exactly what the
-# degraded relay rejects); "step" = host-driven control loop
+# "scan" = whole trajectory as ONE jitted dispatch with the steps
+# statically unrolled (relay-friendly: the stepwise mode's dozens of
+# per-step device_puts are exactly what the degraded relay rejects, and
+# the relay also rejects executables containing lax.scan ops);
+# "step" = host-driven control loop
 MODE = os.environ.get("WARM_MODE", "scan")
 
 
 def run_scan(base, drifts, opt):
     """Whole-trajectory capture: step 0 (cold) outside, steps 1..S-1 as ONE
-    lax.scan dispatch per trajectory -- the metric is then purely the
-    steady-state warm (or cold) step cost, and the relay sees ~4 dispatches
-    total instead of dozens of per-step device_puts."""
+    statically-unrolled jitted dispatch per trajectory -- the metric is
+    then purely the steady-state warm (or cold) step cost, and the relay
+    sees ~4 dispatches total instead of dozens of per-step device_puts."""
     import functools
 
     @functools.partial(jax.jit, static_argnames=("warm",))
     def trajectory(base, drifts, warm):
         d0 = drifts[0]
         pb0 = dataclasses.replace(base, l=base.l + d0, u=base.u + d0)
-        res0, carry0 = solve_refined_pallas_carry(pb0, None, opt)
-
-        def step(carry, d):
-            pbs = dataclasses.replace(base, l=base.l + d, u=base.u + d)
+        res0, carry = solve_refined_pallas_carry(pb0, None, opt)
+        its, sts = [], []
+        # static unroll (STEPS is a host constant): no scan op in the
+        # program, one kernel per step, all in ONE dispatched executable
+        for s in range(1, STEPS):
+            pbs = dataclasses.replace(base, l=base.l + drifts[s],
+                                      u=base.u + drifts[s])
             if warm:
-                res, carry2 = solve_refined_pallas_carry(pbs, carry, opt)
+                res, carry = solve_refined_pallas_carry(pbs, carry, opt)
             else:
-                res, carry2 = solve_refined_pallas(pbs, opt), carry
-            return carry2, (res.iterations, res.status)
-
-        _, (its, sts) = jax.lax.scan(step, carry0, drifts[1:])
-        return res0, its, sts
+                res = solve_refined_pallas(pbs, opt)
+            its.append(res.iterations)
+            sts.append(res.status)
+        return res0, jnp.stack(its), jnp.stack(sts)
 
     def timed(warm):
         base_d = jax.tree.map(jnp.asarray, base)

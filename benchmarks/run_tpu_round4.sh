@@ -20,15 +20,17 @@ run() {  # run <name> <timeout-seconds> <cmd...>
 
 for s in $steps; do
   case "$s" in
-    warm)    run warm    900 python benchmarks/capture_warm.py ;;
+    warm)    run warm   2400 python benchmarks/capture_warm.py ;;
     box)     run box     600 python benchmarks/run_benchmarks.py --suite box ;;
     decomp)  run decomp  700 python benchmarks/run_benchmarks.py --suite decomp ;;
-    ik)      run ik     1200 python benchmarks/run_benchmarks.py --suite ik ;;
+    ik)      run ik     1800 python benchmarks/capture_ik.py ;;
     corpus)  run corpus  900 python benchmarks/run_benchmarks.py --suite corpus ;;
     bench)   run bench  1200 python bench.py ;;
     bench24) run bench24 1200 env BENCH_PACK=24 python bench.py ;;
     bench32) run bench32 1200 env BENCH_PACK=32 python bench.py ;;
     bench8)  run bench8  1200 env BENCH_PACK=8 python bench.py ;;
+    benchir0) run benchir0 1200 env BENCH_IR_STEPS=0 python bench.py ;;
+    benchit60) run benchit60 1200 env BENCH_MAX_ITER=60 python bench.py ;;
     scaling) run scaling 700 python benchmarks/run_benchmarks.py --suite scaling --solver pallas ;;
     *) echo "unknown step $s" ;;
   esac

@@ -10,8 +10,11 @@ reference's in-place Eigen code:
 - Blocks have a *uniform* padded size so everything is fixed-shape and
   batches with vmap (the reference supports ragged block sizes; pad to the
   max and put an identity diagonal in the padding).
-- The block-tridiagonal chain is a ``lax.scan`` (the recurrence
-  L_i = chol(D_i - S'_{i-1} S'_{i-1}^T) is inherently sequential).
+- The block-tridiagonal chain is a static Python unroll over nb (the
+  recurrence L_i = chol(D_i - S'_{i-1} S'_{i-1}^T) is inherently
+  sequential; nb is a trace-time constant, and the unroll both fuses
+  better under XLA and avoids scan ops that some remote-TPU relays
+  reject).
 - The block-arrow factorization's per-block work (chol(D_i), B_i = S_i
   L_i^{-T}) is *vmapped across blocks* -- this is exactly the parallelism
   the reference marks with [OPTIM] comments (blockArrowLLT.cpp:118-120,217).
@@ -60,61 +63,53 @@ def tri_block_diag_llt(diag: jax.Array, sub: jax.Array):
     Returns (L_diag (nb, s, s) lower-triangular blocks,
     L_sub (nb-1, s, s) = S_i L_i^{-T}). The factor is
     L = [[L_0], [L_sub_0, L_1], ...].
+
+    The chain over blocks is a static Python unroll (nb is a trace-time
+    constant): XLA fuses the unrolled chain better than a ``scan``, and
+    some remote-TPU relays reject executables containing scan ops.
     """
     nb, s, _ = diag.shape
-
-    def step(M, inputs):
-        D, S = inputs
-        L = _chol(D - M)
-        # S' = S L^{-T}  <=>  S'^T = L^{-1} S^T
-        Sp = _solve_lower(L, S.T).T
-        return Sp @ Sp.T, (L, Sp)
-
-    S_ext = jnp.concatenate([sub, jnp.zeros((1, s, s), diag.dtype)], axis=0)
-    _, (L_diag, L_sub_ext) = jax.lax.scan(
-        step, jnp.zeros((s, s), diag.dtype), (diag, S_ext)
-    )
-    return L_diag, L_sub_ext[:-1]
+    M = jnp.zeros((s, s), diag.dtype)
+    Ls, Sps = [], []
+    for i in range(nb):
+        L = _chol(diag[i] - M)
+        Ls.append(L)
+        if i < nb - 1:
+            # S' = S L^{-T}  <=>  S'^T = L^{-1} S^T
+            Sp = _solve_lower(L, sub[i].T).T
+            Sps.append(Sp)
+            M = Sp @ Sp.T
+    return jnp.stack(Ls), (jnp.stack(Sps) if Sps
+                           else jnp.zeros((0, s, s), diag.dtype))
 
 
 def tri_block_l_solve(L_diag, L_sub, r):
-    """y = L^{-1} r, blockwise forward substitution
+    """y = L^{-1} r, blockwise forward substitution, statically unrolled
     (ref: triBlockDiagLLT.cpp:37-95). r has shape (nb, s) or (nb, s, k)."""
     nb, s, _ = L_diag.shape
     vec = r.ndim == 2
     if vec:
         r = r[..., None]
-    Sp_ext = jnp.concatenate([jnp.zeros((1, s, s), L_diag.dtype), L_sub], axis=0)
-
-    def step(y_prev, inputs):
-        L, Sp, ri = inputs
-        y = _solve_lower(L, ri - Sp @ y_prev)
-        return y, y
-
-    _, y = jax.lax.scan(step, jnp.zeros((s, r.shape[-1]), r.dtype), (L_diag, Sp_ext, r))
+    ys = []
+    for i in range(nb):
+        rhs = r[i] if i == 0 else r[i] - L_sub[i - 1] @ ys[-1]
+        ys.append(_solve_lower(L_diag[i], rhs))
+    y = jnp.stack(ys)
     return y[..., 0] if vec else y
 
 
 def tri_block_lt_solve(L_diag, L_sub, r):
-    """y = L^{-T} r, blockwise backward substitution
+    """y = L^{-T} r, blockwise backward substitution, statically unrolled
     (ref: triBlockDiagLLT.cpp:97-158)."""
     nb, s, _ = L_diag.shape
     vec = r.ndim == 2
     if vec:
         r = r[..., None]
-    Sp_ext = jnp.concatenate([L_sub, jnp.zeros((1, s, s), L_diag.dtype)], axis=0)
-
-    def step(y_next, inputs):
-        L, Sp, ri = inputs
-        y = _solve_lower(L, ri - Sp.T @ y_next, transpose=True)
-        return y, y
-
-    _, y = jax.lax.scan(
-        step,
-        jnp.zeros((s, r.shape[-1]), r.dtype),
-        (L_diag[::-1], Sp_ext[::-1], r[::-1]),
-    )
-    y = y[::-1]
+    ys = [None] * nb
+    for i in range(nb - 1, -1, -1):
+        rhs = r[i] if i == nb - 1 else r[i] - L_sub[i].T @ ys[i + 1]
+        ys[i] = _solve_lower(L_diag[i], rhs, transpose=True)
+    y = jnp.stack(ys)
     return y[..., 0] if vec else y
 
 

@@ -275,7 +275,26 @@ def test_warm_start_statistical_50k():
     (ref: GoldfarbIdnaniSolverTest.cpp:127-219 -- 10,000 x 5 solves,
     < 0.1% failures): warm-starting from the cold solve's exact active set
     must give 0 iterations and the same solution. Runs the 50k solves as 5
-    vmapped 10k batches (TPU-style execution; seconds, not hours)."""
+    vmapped 10k batches (TPU-style execution; seconds, not hours).
+
+    Runs in a FRESH subprocess: at the tail of a full-suite session the
+    XLA:CPU runtime on this 2-CPU box segfaults executing the 10k-batch
+    while-loop (native-code crash, not reproducible standalone or in any
+    small test combination); process isolation keeps the test's own
+    behavior identical while sidestepping the accumulated-session state."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JRLQP_50K_INNER") != "1":
+        env = dict(os.environ, JRLQP_50K_INNER="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             f"{__file__}::test_warm_start_statistical_50k"],
+            env=env, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+        return
+
     from jrlqp_tpu.solver.dense import solve_batch
     from jrlqp_tpu.testing.batch_gen import random_qp_batch
 
