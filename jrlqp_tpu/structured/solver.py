@@ -33,7 +33,8 @@ from ..types import (
 from .containers import GType, StructuredC, StructuredG
 
 __all__ = ["solve_structured", "solve_structured_fast",
-           "solve_structured_fast_batch", "structured_qp_problem"]
+           "solve_structured_fast_batch", "solve_structured_fast_carry",
+           "structured_qp_problem"]
 
 
 def structured_qp_problem(
@@ -357,13 +358,99 @@ def solve_structured_fast_batch(
     iteration, and finalization is the batched f64-residual refinement.
     Semantics match ``vmap(solve_structured_fast)``.
     """
+    from ..solver.fast import _refine_batch
+
+    pbs, _, _, states = _solve_structured_states(
+        sgs, a, scs, l, u, xl, xu, opt, backend, interpret, pack)
+    return _refine_batch(pbs, states, ir_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "ir_steps", "backend",
+                                             "interpret", "pack"))
+def solve_structured_fast_carry(
+    sgs: StructuredG,
+    a: jax.Array,
+    scs: Union[StructuredC, jax.Array],
+    l: jax.Array,
+    u: jax.Array,
+    carry=None,
+    xl: Optional[jax.Array] = None,
+    xu: Optional[jax.Array] = None,
+    opt: SolverOptions = SolverOptions(),
+    ir_steps: int = 3,
+    backend: str = "auto",
+    interpret: bool = False,
+    pack: Optional[int] = None,
+):
+    """Batched structured solve for sequential trajectories (IK control
+    loops, the structured layer's primary workload -- ref 'Sequential IK',
+    tests/BlockGISolverTest.in.cpp:172-271). Returns ``(result, carry)``.
+
+    The reference's structured warm start is unfinished (BlockGISolver
+    asserts an empty initial active set, src/experimental/
+    BlockGISolver.cpp:474-481). Here the explicit-operator form makes it
+    trivial: when consecutive problems share G and C (only a / bounds
+    drift), the previous solve's reduced operators ARE the warm operators
+    (:class:`jrlqp_tpu.solver.fast.WarmCarry`) -- no blocked factorization,
+    no identity solve, zero O(n^3)/O(nb s^3) work at solve entry. First
+    call: ``carry=None`` (cold, packed fused block-LLT init).
+    """
     import dataclasses as _dc
 
     from ..solver.fast import (
-        _init_fast_from_ops,
+        WarmCarry,
+        _init_fast_from_carry,
         _refine_batch,
         fast_iteration,
     )
+
+    if carry is None:
+        # cold start: reuse the batch entry's init by inlining its body
+        res_states = _solve_structured_states(
+            sgs, a, scs, l, u, xl, xu, opt, backend, interpret, pack)
+        pbs, pb32, opt32, states = res_states
+    else:
+        f32 = jnp.float32
+        B = a.shape[0]
+        n = sgs.nb * sgs.s
+        inf = jnp.asarray(jnp.inf, a.dtype)
+        if xl is None:
+            xl = jnp.full((B, n), -inf, a.dtype)
+        if xu is None:
+            xu = jnp.full((B, n), inf, a.dtype)
+        pbs = jax.vmap(
+            lambda sg, av, sc, lv, uv, xlv, xuv: structured_qp_problem(
+                sg, av, sc, lv, uv, xlv, xuv))(sgs, a, scs, l, u, xl, xu)
+        pb32 = pbs.with_dtype(f32)
+        opt32 = opt.with_(dtype=f32, zero_z_threshold=1e-6)
+        state0 = jax.vmap(_init_fast_from_carry)(
+            pb32, carry.H, carry.Ns, carry.status, carry.aorder, carry.q)
+        max_iter = jnp.asarray(opt.max_iter, jnp.int32)
+
+        def run(pb_i, st):
+            return jax.lax.while_loop(
+                lambda s: (s.term == RUNNING) & (s.it < max_iter),
+                lambda s: fast_iteration(pb_i, s, opt32),
+                st)
+
+        states = jax.vmap(run)(pb32, state0)
+        from ..types import MAX_ITER_REACHED
+        term = jnp.where(states.term == RUNNING, MAX_ITER_REACHED,
+                         states.term)
+        states = _dc.replace(states, term=term.astype(jnp.int32))
+
+    res = _refine_batch(pbs, states, ir_steps)
+    new_carry = WarmCarry(H=states.H, Ns=states.Ns, status=states.status,
+                          aorder=states.aorder, q=states.q)
+    return res, new_carry
+
+
+def _solve_structured_states(sgs, a, scs, l, u, xl, xu, opt, backend,
+                             interpret, pack):
+    """Cold-start shared body: returns (pbs, pb32, opt32, final states)."""
+    import dataclasses as _dc
+
+    from ..solver.fast import _init_fast_from_ops, fast_iteration
 
     if backend == "auto":
         dflt = jax.config.jax_default_device
@@ -389,8 +476,7 @@ def solve_structured_fast_batch(
     if backend == "pallas":
         H, posdef = _structured_inverse_pallas_batch(
             diag32, off32, sgs.gtype, interpret, pack=pack)
-        H = jnp.where(posdef[:, None, None], H,
-                      jnp.eye(n, dtype=f32)[None])
+        H = jnp.where(posdef[:, None, None], H, jnp.eye(n, dtype=f32)[None])
     else:
         def one_inv(d, o):
             fac = _dc.replace(sgs, diag=d, off=o).llt()
@@ -402,11 +488,9 @@ def solve_structured_fast_batch(
         H, posdef = jax.vmap(one_inv)(diag32, off32)
     x = -jnp.einsum("bij,bj->bi", H, pb32.a)
     x = jnp.where(posdef[:, None], x, 0.0)
-
     state0 = jax.vmap(
         lambda p, Hi, xi, pd: _init_fast_from_ops(p, Hi, xi, pd, opt32))(
         pb32, H, x, posdef)
-
     max_iter = jnp.asarray(opt.max_iter, jnp.int32)
 
     def run(pb_i, st):
@@ -419,4 +503,4 @@ def solve_structured_fast_batch(
     from ..types import MAX_ITER_REACHED
     term = jnp.where(states.term == RUNNING, MAX_ITER_REACHED, states.term)
     states = _dc.replace(states, term=term.astype(jnp.int32))
-    return _refine_batch(pbs, states, ir_steps)
+    return pbs, pb32, opt32, states

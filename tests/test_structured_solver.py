@@ -255,3 +255,41 @@ def test_structured_fast_batch_matches_vmapped(gtype):
         assert int(res_b.status[k]) == int(ref.status) == 0
         np.testing.assert_allclose(np.asarray(res_b.x[k]),
                                    np.asarray(ref.x), atol=1e-7)
+
+
+def test_structured_fast_carry_trajectory():
+    """Structured control-loop warm start: a drifting-bounds trajectory
+    through solve_structured_fast_carry must converge in ~0 iterations on
+    warm steps and match the cold batch entry's solutions. The reference's
+    structured warm start is unfinished (BlockGISolver asserts 0 initial
+    actives, src/experimental/BlockGISolver.cpp:474-481); the carry form
+    goes beyond it with zero refactorization work."""
+    from jrlqp_tpu.structured.solver import (
+        solve_structured_fast_batch,
+        solve_structured_fast_carry,
+    )
+
+    rng = np.random.default_rng(42)
+    nb, s, mc, B = 3, 8, 2, 4
+    probs = [_rand_structured(rng, nb, s, mc, GType.TRI_BLOCK_DIAGONAL)
+             for _ in range(B)]
+    sgs = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in probs])
+    a_b = jnp.stack([p[1] for p in probs])
+    scs = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[2] for p in probs])
+    l_b = jnp.stack([p[3] for p in probs])
+    u_b = jnp.stack([p[4] for p in probs])
+    m = nb * mc
+
+    carry = None
+    for step in range(3):
+        d = jnp.asarray(0.02 * rng.standard_normal((B, m)))
+        ls, us = l_b + d, u_b + d
+        res, carry = solve_structured_fast_carry(
+            sgs, a_b, scs, ls, us, carry, backend="pallas", interpret=True)
+        assert np.all(np.asarray(res.status) == 0), res.status
+        ref = solve_structured_fast_batch(
+            sgs, a_b, scs, ls, us, backend="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   atol=1e-7)
+        if step > 0:
+            assert float(np.mean(np.asarray(res.iterations))) <= 3.0
