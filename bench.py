@@ -65,8 +65,10 @@ def main():
     opt = SolverOptions(max_iter=int(os.environ.get("BENCH_MAX_ITER", "150")))
 
     if SOLVER == "pallas":
+        fused = os.environ.get("BENCH_FUSED_INIT", "1") == "1"
         run = jax.jit(lambda p: solve_refined_pallas(p, opt, ir_steps=IR_STEPS,
-                                                     pack=PACK))
+                                                     pack=PACK,
+                                                     fused_init=fused))
     elif SOLVER == "pallas_compacted":
         from jrlqp_tpu.solver.fast import solve_refined_pallas_compacted
 

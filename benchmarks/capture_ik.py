@@ -43,7 +43,7 @@ from jrlqp_tpu.types import SolverOptions  # noqa: E402
 
 NB, S, MC = 9, 43, 4
 BATCHES = tuple(int(b) for b in
-                os.environ.get("IK_BATCHES", "16,128").split(","))
+                os.environ.get("IK_BATCHES", "128,16").split(","))
 REPS = int(os.environ.get("IK_REPS", "3"))
 
 
@@ -120,14 +120,18 @@ def main():
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "out", "structured_ik.json")
         ref_x = None
-        # pallas and dense first: they are the decisive comparison; the
-        # xla-backend row is informative only
-        for name, mk in (
+        # pallas and dense are the decisive comparison; the xla-backend
+        # row is informative only and its executables are the ones the
+        # relay rejects most -- opt in with IK_XLA=1
+        rows_to_run = [
             ("structured_fast_pallas",
              lambda mi: m_structured(mi, "pallas")),
             ("dense_fast", m_dense),
-            ("structured_fast_xla", lambda mi: m_structured(mi, "xla")),
-        ):
+        ]
+        if os.environ.get("IK_XLA") == "1":
+            rows_to_run.append(
+                ("structured_fast_xla", lambda mi: m_structured(mi, "xla")))
+        for name, mk in rows_to_run:
             try:
                 x, ok, t = measure(mk, batch)
             except (RuntimeError, jax.errors.JaxRuntimeError) as e:
@@ -146,8 +150,17 @@ def main():
                     jnp.max(jnp.abs(x - ref_x)))
             rows.append(row)
             print(json.dumps(row))
+            merged = list(rows)
+            if os.path.exists(path):  # keep rows from other runs/batches
+                try:
+                    names = {r["name"] for r in merged}
+                    merged += [r for r in json.load(open(path))
+                               if r.get("name") not in names]
+                except Exception:
+                    pass
             with open(path, "w") as fh:  # land partial results immediately
-                json.dump(rows, fh, indent=2)
+                json.dump(sorted(merged, key=lambda r: r["name"]), fh,
+                          indent=2)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,7 @@ from ...types import (
     LOWER,
     LOWER_BOUND,
     MAX_ITER_REACHED,
+    NON_POS_HESSIAN,
     RUNNING,
     SUCCESS,
     UPPER,
@@ -334,32 +335,25 @@ def _kernel(
 
 
 
-def _kernel_packed(
-    G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref,
-    K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref, fs0_ref,
-    x_out, u_out, st_out, ao_out, scal_out, K_out, fs_out,
-    *, n, m, np_, mp_, mtp_, max_iter, P,
-):
-    """P problems per grid program, fully vectorized masked iteration.
+def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
+                    *, n, m, np_, mp_, mtp_, max_iter, P):
+    """The packed GI while-loop over P problems' VMEM-resident state.
 
-    The single-problem kernel is latency-bound: each small MXU matvec/outer
-    costs ~300-650ns of pipeline latency. Packing P independent problems per
-    program turns them into batched dot_generals (independent MXU passes
-    that pipeline back-to-back: measured ~4x per-problem speedup at P=8) and
-    amortizes every VPU bookkeeping op over P sublane rows. The price is
-    masked straight-line code (no per-problem lax.cond: stopped problems
-    freeze via selects, both add and remove updates are computed every
-    iteration) and running each pack until its slowest member finishes.
+    Shared by :func:`_kernel_packed` (state initialized outside the kernel
+    by XLA ops) and :func:`_kernel_packed_fused` (state initialized by the
+    in-kernel Cholesky prologue). Fully vectorized masked iteration: the
+    single-problem kernel is latency-bound (each small MXU matvec/outer
+    costs ~300-650ns of pipeline latency); packing P independent problems
+    per program turns them into batched dot_generals (independent MXU
+    passes that pipeline back-to-back: measured ~4x per-problem speedup at
+    P=8) and amortizes every VPU bookkeeping op over P sublane rows. The
+    price is masked straight-line code (no per-problem lax.cond: stopped
+    problems freeze via selects) and running each pack until its slowest
+    member finishes.
     """
     f32 = jnp.float32
     i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
     one, zero_i, neg1 = i32(1), i32(0), i32(-1)
-    G = G_ref[0]    # (P, np_, np_)
-    C = C_ref[0]    # (P, mp_, np_)
-    lo = l_ref[0]   # (P, mp_)
-    up = u_ref[0]
-    xlo = xl_ref[0]  # (P, np_)
-    xup = xu_ref[0]
 
     iot_n = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
     iot_m = jax.lax.broadcasted_iota(jnp.int32, (1, mp_), 1)
@@ -373,13 +367,9 @@ def _kernel_packed(
 
     # scale-aware dependence threshold (see fast._dep_eps): per-problem,
     # relative to the INIT-time trace(H0) = trace(G^-1) (an upper scale for
-    # every later H), carried in via fs0 slot 0 so resumed runs
-    # (mid-solve compaction) keep the original scale instead of the
-    # evolved K's shrunken trace
-    tr0 = jnp.maximum(jnp.sum(jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1) == 0,
-        fs0_ref[0], f32(0.0)), axis=1, keepdims=True),
-        f32(1e-30))                                             # (P, 1)
+    # every later H); the caller carries tr0 so resumed runs (mid-solve
+    # compaction) keep the original scale instead of the evolved K's
+    # shrunken trace
     dep_thr = f32(2e-7) * tr0
 
     def bmv(A, v):
@@ -573,6 +563,25 @@ def _kernel_packed(
         running = (term == i32(RUNNING)) & (it < i32(max_iter))
         return jnp.max(jnp.where(running, f32(1.0), f32(0.0))) > f32(0.0)
 
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _kernel_packed(
+    G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref,
+    K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref, fs0_ref,
+    x_out, u_out, st_out, ao_out, scal_out, K_out, fs_out,
+    *, n, m, np_, mp_, mtp_, max_iter, P,
+):
+    """P problems per grid program; state initialized outside the kernel
+    (XLA batched Cholesky / warm-start operators) and passed in via refs.
+    See :func:`_packed_iterate` for the iteration itself."""
+    f32 = jnp.float32
+    i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+    # tr0 carried in via fs0 slot 0 (see _packed_iterate docstring)
+    tr0 = jnp.maximum(jnp.sum(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1) == 0,
+        fs0_ref[0], f32(0.0)), axis=1, keepdims=True),
+        f32(1e-30))                                             # (P, 1)
     scal0 = scal0_ref[0]  # (P, 8) int32
     init = (
         x0_ref[0], K0_ref[0], u0_ref[0], st0_ref[0], ao0_ref[0],
@@ -580,7 +589,10 @@ def _kernel_packed(
         scal0[:, 0:1], scal0[:, 1:2], scal0[:, 2:3], scal0[:, 3:4],
         scal0[:, 4:5], scal0[:, 5:6],
     )
-    out = jax.lax.while_loop(cond, body, init)
+    out = _packed_iterate(
+        G_ref[0], C_ref[0], l_ref[0], u_ref[0], xl_ref[0], xu_ref[0],
+        tr0, init, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
+        max_iter=max_iter, P=P)
     (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
      sc_idx, sc_st) = out
     term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
@@ -592,6 +604,78 @@ def _kernel_packed(
     ao_out[0] = aorder
     K_out[0] = K
     fs_out[0] = fs0_ref[0]  # carry tr0 forward for resumed runs
+    zero = jnp.zeros((P, 1), jnp.int32)
+    scal_out[0] = jnp.concatenate(
+        [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
+
+
+def _kernel_packed_fused(
+    G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref, a_ref,
+    x_out, u_out, st_out, ao_out, scal_out, K_out, fs_out,
+    *, n, m, np_, mp_, mtp_, max_iter, P,
+):
+    """Packed kernel with the COLD INIT fused in as a prologue: per-pack
+    batched Cholesky of G (masked column loop), triangular inverse,
+    H0 = L^-T L^-1, x0 = -H0 a -- all in VMEM. Eliminates the XLA batched
+    Cholesky/teardown AND the (B, 2np_, np_) K0 HBM round trip. G must be
+    IDENTITY-padded (the host fold does this when fused_init is on).
+
+    Restriction (checked by the caller): no equality constraints or fixed
+    variables -- the auto-activation replay (ref GoldfarbIdnaniSolver.cpp:
+    268-338) runs only in the XLA init path.
+    """
+    from .block_llt import _bmm_tn, _chol_b, _tri_inv_b
+
+    f32 = jnp.float32
+    i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+    G = G_ref[0]
+    a = a_ref[0]                                 # (P, np_)
+
+    L = _chol_b(G, np_)
+    Li = _tri_inv_b(L, np_)
+    H0 = _bmm_tn(Li, Li)                         # L^-T L^-1 = G^-1
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (1, np_, 1), 1)
+    cols3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
+    eye_m = (rows3 == cols3).astype(f32)
+    dL = jnp.sum(L * eye_m, axis=2)              # (P, np_) diag of L
+    # the in-kernel Cholesky clamps pivots instead of NaN-ing: a collapsed
+    # diagonal flags non-SPD (same detection as ops/pallas/block_llt)
+    posdef = (jnp.min(dL, axis=1, keepdims=True)
+              > f32(1e-6) * jnp.max(dL, axis=1, keepdims=True))  # (P, 1)
+    H0 = jnp.where(posdef[:, :, None], H0, eye_m)
+    tr0 = jnp.maximum(jnp.sum(jnp.sum(H0 * eye_m, axis=2), axis=1,
+                              keepdims=True), f32(1e-30))        # (P, 1)
+    x0 = -jax.lax.dot_general(H0, a, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=f32)
+    x0 = jnp.where(posdef, x0, f32(0.0))
+    K0 = jnp.concatenate([H0, jnp.zeros((P, np_, np_), f32)], axis=1)
+
+    zc = jnp.zeros((P, 1), jnp.int32)
+    init = (
+        x0, K0, jnp.zeros((P, np_), f32),
+        jnp.zeros((P, mtp_), jnp.int32),
+        jnp.full((P, np_), -1, jnp.int32),
+        jnp.zeros((P, np_), f32), jnp.zeros((P, np_), f32),
+        zc, zc,
+        jnp.where(posdef, i32(RUNNING), i32(NON_POS_HESSIAN)),
+        zc, zc - 1, zc,
+    )
+    out = _packed_iterate(
+        G, C_ref[0], l_ref[0], u_ref[0], xl_ref[0], xu_ref[0],
+        tr0, init, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
+        max_iter=max_iter, P=P)
+    (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
+     sc_idx, sc_st) = out
+    term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
+                     term).astype(jnp.int32)
+
+    x_out[0] = x
+    u_out[0] = uvec
+    st_out[0] = status
+    ao_out[0] = aorder
+    K_out[0] = K
+    fs_out[0] = tr0 * (jax.lax.broadcasted_iota(
+        jnp.int32, (P, 8), 1) == 0).astype(f32)
     zero = jnp.zeros((P, 1), jnp.int32)
     scal_out[0] = jnp.concatenate(
         [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
@@ -626,7 +710,7 @@ def _auto_pack(np_: int, mp_: int) -> int:
 
 def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
                     interpret: bool = False, pack: int | None = None,
-                    presort: bool = True):
+                    presort: bool = True, fused_init: bool = False):
     """Run the GI loop via the Pallas kernel for a batch of f32 problems.
 
     ``pb32``: stacked QPProblem (leading batch dim, float32). ``state0``: the
@@ -642,21 +726,37 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     Returns a dict of final batched state pieces
     (x, u, status, aorder, q, it, term, H, Ns) in the library's (m+n)
     index layout.
+
+    ``fused_init=True`` runs the cold init (batched Cholesky, H0 = G^-1,
+    x0 = -H0 a) INSIDE the kernel as a prologue (``_kernel_packed_fused``):
+    no XLA init, no (B, 2np_, np_) K0 HBM round trip. ``state0`` is ignored
+    (pass None); the caller must guarantee no equality constraints or fixed
+    variables (their auto-activation replay exists only in the XLA init)
+    and pack > 1. The presort proxy is then violations at the diagonal
+    estimate x~ = -a/diag(G) (x0 does not exist before the kernel runs).
     """
     if pack is None:
         key = (_round_up(pb32.a.shape[1] + 1, 8),
                _round_up(max(pb32.C.shape[1], 1), 8))
         pack = _PROVEN_PACK.get(key) or _auto_pack(*key)
+    if fused_init and pack <= 1:
+        raise ValueError("fused_init requires the packed kernel (pack > 1)")
     inv = None
     if presort and pb32.a.shape[0] > pack > 1:
-        cx = jnp.einsum("bij,bj->bi", pb32.C, state0.x)
+        if fused_init:
+            dg = jnp.diagonal(pb32.G, axis1=-2, axis2=-1)
+            x_est = -pb32.a / jnp.where(dg > 0, dg, 1.0)
+        else:
+            x_est = state0.x
+        cx = jnp.einsum("bij,bj->bi", pb32.C, x_est)
         nv = (jnp.sum((cx < pb32.l) | (cx > pb32.u), axis=1)
-              + jnp.sum((state0.x < pb32.xl) | (state0.x > pb32.xu), axis=1))
+              + jnp.sum((x_est < pb32.xl) | (x_est > pb32.xu), axis=1))
         order = jnp.argsort(nv)
         inv = jnp.argsort(order)
         take = lambda a: jnp.take(a, order, axis=0)  # noqa: E731
         pb32 = jax.tree.map(take, pb32)
-        state0 = jax.tree.map(take, state0)
+        if state0 is not None:
+            state0 = jax.tree.map(take, state0)
     if pack > 1:
         Borig = pb32.a.shape[0]
         pad = (-Borig) % pack
@@ -667,7 +767,8 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
                 return jnp.take(a, idx, axis=0)
 
             pb32 = jax.tree.map(_padb, pb32)
-            state0 = jax.tree.map(_padb, state0)
+            if state0 is not None:
+                state0 = jax.tree.map(_padb, state0)
     B, n = pb32.a.shape
     m = pb32.C.shape[1]
     np_ = _round_up(n + 1, 8)
@@ -692,6 +793,14 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     u = padrow(pb32.u, mp_, fill=BIG * 10)
     xl = padrow(pb32.xl, np_, fill=-BIG * 10)
     xu = padrow(pb32.xu, np_, fill=BIG * 10)
+    if fused_init:
+        # identity-pad G so the in-kernel Cholesky/inverse stay exact on
+        # the padded rows; a-row zero-padded => x0 padding stays 0
+        kpad = jnp.arange(n, np_)
+        G = G.at[:, kpad, kpad].set(1.0)
+        a_row = padrow(pb32.a, np_)
+        return _run_fused(G, C, l, u, xl, xu, a_row, inv, Borig, B, n, m,
+                          np_, mp_, mtp_, max_iter, pack, interpret)
     K0 = jnp.concatenate([pad2(state0.H, np_, np_),
                           pad2(state0.Ns, np_, np_)], axis=1)
     x0 = padrow(state0.x, np_)
@@ -820,6 +929,12 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
             interpret=interpret,
         )(G, C, l, u, xl, xu, K0, x0, u0, st0, ao0, sk0, scal0, fscal0)
 
+    return _postprocess(x, uvec, status, aorder, scal, K, fs, inv,
+                        n, m, np_, mp_)
+
+
+def _postprocess(x, uvec, status, aorder, scal, K, fs, inv, n, m, np_, mp_):
+    """Restore caller order and remap kernel index layout to (m+n)."""
     if inv is not None:  # restore caller order after presort
         x, uvec, status, aorder, scal, K, fs = (
             jnp.take(a, inv, axis=0)
@@ -847,3 +962,61 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         Ns=K[:, np_:np_ + n, :n],
         hscale=fs[:, 0, 0],
     )
+
+
+def _run_fused(G, C, l, u, xl, xu, a_row, inv, Borig, B, n, m,
+               np_, mp_, mtp_, max_iter, pack, interpret):
+    """Launch the fused-init packed kernel (see _kernel_packed_fused)."""
+    f32 = jnp.float32
+    P = pack
+    BP = B // P
+
+    def spec(*shape):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda i, _k=len(shape): (i,) + (jnp.zeros((), jnp.int32),) * _k,
+            memory_space=pltpu.VMEM,
+        )
+
+    def fold_m(A):
+        return A.reshape(BP, P, A.shape[1], A.shape[2])
+
+    def fold_r(A):
+        return A.reshape(BP, P, A.shape[2])
+
+    kern = functools.partial(
+        _kernel_packed_fused, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
+        max_iter=max_iter, P=P,
+    )
+    x, uvec, status, aorder, scal, K, fs = pl.pallas_call(
+        kern,
+        grid=(BP,),
+        in_specs=[
+            spec(P, np_, np_), spec(P, mp_, np_), spec(P, mp_),
+            spec(P, mp_), spec(P, np_), spec(P, np_), spec(P, np_),
+        ],
+        out_specs=[
+            spec(P, np_), spec(P, np_), spec(P, mtp_), spec(P, np_),
+            spec(P, 8), spec(P, 2 * np_, np_), spec(P, 8),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, P, np_), f32),
+            jax.ShapeDtypeStruct((BP, P, np_), f32),
+            jax.ShapeDtypeStruct((BP, P, mtp_), jnp.int32),
+            jax.ShapeDtypeStruct((BP, P, np_), jnp.int32),
+            jax.ShapeDtypeStruct((BP, P, 8), jnp.int32),
+            jax.ShapeDtypeStruct((BP, P, 2 * np_, np_), f32),
+            jax.ShapeDtypeStruct((BP, P, 8), f32),
+        ],
+        interpret=interpret,
+    )(fold_m(G), fold_m(C), fold_r(l), fold_r(u), fold_r(xl), fold_r(xu),
+      fold_r(a_row))
+    x = x.reshape(B, 1, np_)[:Borig]
+    uvec = uvec.reshape(B, 1, np_)[:Borig]
+    status = status.reshape(B, 1, mtp_)[:Borig]
+    aorder = aorder.reshape(B, 1, np_)[:Borig]
+    scal = scal.reshape(B, 1, 8)[:Borig]
+    K = K.reshape(B, 2 * np_, np_)[:Borig]
+    fs = fs.reshape(B, 1, 8)[:Borig]
+    return _postprocess(x, uvec, status, aorder, scal, K, fs, inv,
+                        n, m, np_, mp_)

@@ -616,13 +616,15 @@ def solve_refined(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("opt", "ir_steps", "interpret", "pack"))
+                   static_argnames=("opt", "ir_steps", "interpret", "pack",
+                                    "fused_init"))
 def _solve_refined_pallas_jit(
     pbs: QPProblem,
     opt: SolverOptions,
     ir_steps: int,
     interpret: bool,
     pack: int | None,
+    fused_init: bool = False,
 ) -> GIResult:
     from ..ops.pallas.gi_kernel import run_loop_pallas
 
@@ -630,9 +632,12 @@ def _solve_refined_pallas_jit(
     m = pbs.C.shape[1]
     pb32 = pbs.with_dtype(jnp.float32)
     opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
-    state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
+    if fused_init:
+        state0 = None
+    else:
+        state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
     out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
-                          pack=pack)
+                          pack=pack, fused_init=fused_init)
     return _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
 
 
@@ -649,6 +654,7 @@ def solve_refined_pallas(
     ir_steps: int = 3,
     interpret: bool = False,
     pack: int | None = None,
+    fused_init: bool = False,
 ) -> GIResult:
     """Batched f32 GI via the Pallas whole-solve kernel + IR finalization.
 
@@ -657,6 +663,13 @@ def solve_refined_pallas(
     (:mod:`jrlqp_tpu.ops.pallas.gi_kernel`); init (batched Cholesky) and the
     f64-residual refinement remain XLA ops. Semantics match
     ``vmap(solve_refined)``.
+
+    ``fused_init=True`` moves the cold init (batched Cholesky, H0 = G^-1,
+    x0 = -H0 a) INTO the kernel as a per-pack prologue -- eliminates the
+    XLA init and the K0 HBM round trip (~15-20%% of wall at n=50). Only
+    valid for batches with NO equality constraints (l == u) or fixed
+    variables (xl == xu): their auto-activation replay exists only in the
+    XLA init path. The caller asserts that contract.
 
     Pack selection is self-healing: when ``pack`` is None and the
     auto-sized pack overflows the device's scoped VMEM at Mosaic compile
@@ -670,14 +683,16 @@ def solve_refined_pallas(
     from ..ops.pallas import gi_kernel as _gk
 
     if pack is not None or interpret:
-        return _solve_refined_pallas_jit(pbs, opt, ir_steps, interpret, pack)
+        return _solve_refined_pallas_jit(pbs, opt, ir_steps, interpret, pack,
+                                         fused_init)
     n = pbs.a.shape[1]
     m = pbs.C.shape[1]
     key = (_gk._round_up(n + 1, 8), _gk._round_up(max(m, 1), 8))
     p = _gk._PROVEN_PACK.get(key)
     while True:
         try:
-            return _solve_refined_pallas_jit(pbs, opt, ir_steps, interpret, p)
+            return _solve_refined_pallas_jit(pbs, opt, ir_steps, interpret, p,
+                                             fused_init)
         except Exception as e:  # noqa: BLE001 -- compile-time Mosaic errors
             eff = p if p is not None else _gk._auto_pack(*key)
             if not _is_vmem_compile_error(e) or eff <= 1:

@@ -10,7 +10,13 @@ from .blocks import (
     tri_block_to_dense,
 )
 from .containers import GType, StructuredC, StructuredG, StructuredGFactor
-from .solver import solve_structured, structured_qp_problem
+from .solver import (
+    solve_structured,
+    solve_structured_fast,
+    solve_structured_fast_batch,
+    solve_structured_fast_carry,
+    structured_qp_problem,
+)
 
 __all__ = [
     "GType",
@@ -18,6 +24,9 @@ __all__ = [
     "StructuredG",
     "StructuredGFactor",
     "solve_structured",
+    "solve_structured_fast",
+    "solve_structured_fast_batch",
+    "solve_structured_fast_carry",
     "structured_qp_problem",
     "tri_block_diag_llt",
     "tri_block_l_solve",

@@ -64,3 +64,46 @@ def test_pallas_kkt_quality():
     resid = jax.vmap(kkt_residual)(res.x, res.multipliers, pbs)
     ok = np.asarray((resid <= 1e-8) & (res.status == 0))
     assert ok.all(), np.asarray(resid)
+
+
+def test_fused_init_matches_xla_init():
+    """fused_init=True (in-kernel Cholesky prologue) must reproduce the
+    XLA-init path: same iterations, same solutions, same KKT quality."""
+    from jrlqp_tpu.solver.fast import solve_refined_pallas
+    from jrlqp_tpu.testing.batch_gen import random_qp_batch
+    from jrlqp_tpu.testing.kkt import kkt_residual
+
+    pbs = random_qp_batch(jax.random.key(17), 10, 12, 20, act_frac=0.5)
+    opt = SolverOptions(max_iter=100)
+    r0 = solve_refined_pallas(pbs, opt, interpret=True, pack=4)
+    r1 = solve_refined_pallas(pbs, opt, interpret=True, pack=4,
+                              fused_init=True)
+    np.testing.assert_array_equal(np.asarray(r0.status),
+                                  np.asarray(r1.status))
+    np.testing.assert_array_equal(np.asarray(r0.iterations),
+                                  np.asarray(r1.iterations))
+    np.testing.assert_allclose(np.asarray(r0.x), np.asarray(r1.x),
+                               atol=1e-9)
+    resid = jax.vmap(kkt_residual)(r1.x, r1.multipliers, pbs)
+    assert float(jnp.max(np.asarray(resid))) <= 1e-8
+
+
+def test_fused_init_detects_non_spd():
+    """A non-SPD lane must terminate NON_POS_HESSIAN through the in-kernel
+    Cholesky prologue (collapsed-pivot detection, like ops/pallas/block_llt)
+    without poisoning the rest of the pack."""
+    import dataclasses
+
+    from jrlqp_tpu.solver.fast import solve_refined_pallas
+    from jrlqp_tpu.testing.batch_gen import random_qp_batch
+    from jrlqp_tpu.types import TerminationStatus
+
+    pbs = random_qp_batch(jax.random.key(18), 4, 8, 12, act_frac=0.3)
+    G = pbs.G.at[2].set(jnp.diag(jnp.asarray(
+        [1.0] * 7 + [-1.0], pbs.G.dtype)))
+    bad = dataclasses.replace(pbs, G=G)
+    res = solve_refined_pallas(bad, SolverOptions(max_iter=60),
+                               interpret=True, pack=4, fused_init=True)
+    sts = np.asarray(res.status)
+    assert sts[2] == int(TerminationStatus.NON_POS_HESSIAN)
+    assert all(sts[k] == int(TerminationStatus.SUCCESS) for k in (0, 1, 3))
