@@ -45,6 +45,11 @@ STEPS = int(os.environ.get("WARM_STEPS", "12"))
 # executables, kept for locally-attached TPUs);
 # "step" = legacy host-driven control loop
 MODE = os.environ.get("WARM_MODE", "resident")
+# pack pinned to the hardware-proven size: the auto ladder's pack=32 rung
+# (legal by the VMEM model at n=20) is rejected by the relayed backend --
+# its remote compiler surfaces scoped-VMEM overflows as bare
+# INVALID_ARGUMENT instead of a compile error
+PACK = int(os.environ.get("WARM_PACK", "16"))
 
 
 def run_resident(base, drifts, opt):
@@ -59,14 +64,14 @@ def run_resident(base, drifts, opt):
         d = jax.lax.dynamic_index_in_dim(drifts_d, k, 0, keepdims=False)
         pbs = dataclasses.replace(b, l=b.l + d, u=b.u + d)
         if warm:
-            return solve_refined_pallas_carry(pbs, carry, opt)
-        return solve_refined_pallas(pbs, opt), carry
+            return solve_refined_pallas_carry(pbs, carry, opt, pack=PACK)
+        return solve_refined_pallas(pbs, opt, pack=PACK), carry
 
     @jax.jit
     def step0(b, drifts_d):
         d = drifts_d[0]
         pbs = dataclasses.replace(b, l=b.l + d, u=b.u + d)
-        return solve_refined_pallas_carry(pbs, None, opt)
+        return solve_refined_pallas_carry(pbs, None, opt, pack=PACK)
 
     def traj(warm):
         for attempt in range(6):

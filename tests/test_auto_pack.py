@@ -34,7 +34,8 @@ def test_solve_refined_pallas_self_heals_on_vmem_failure(monkeypatch):
     real = fast._solve_refined_pallas_jit
     attempts = []
 
-    def fake(pbs, opt, ir_steps, interpret, pack):
+    def fake(pbs, opt, ir_steps, interpret, pack,
+             fused_init=False):
         attempts.append(pack)
         eff = pack if pack is not None else gi_kernel._auto_pack(
             gi_kernel._round_up(pbs.a.shape[1] + 1, 8),
@@ -68,7 +69,8 @@ def test_solve_refined_pallas_self_heals_on_vmem_failure(monkeypatch):
 def test_non_vmem_errors_propagate(monkeypatch):
     """Unrelated compile/runtime failures must NOT be swallowed by the
     self-healing retry loop."""
-    def fake(pbs, opt, ir_steps, interpret, pack):
+    def fake(pbs, opt, ir_steps, interpret, pack,
+             fused_init=False):
         raise RuntimeError("something unrelated went wrong")
 
     monkeypatch.setattr(fast, "_solve_refined_pallas_jit", fake)

@@ -232,11 +232,38 @@ def test_warm_start_hint_gated_on_option():
     assert st[0] == INACTIVE and st[m + 1] == INACTIVE
 
 
+
+
+def _run_in_fresh_process(test_name):
+    """Re-exec a test in a fresh interpreter and return True if handled.
+
+    At the tail of a full-suite session the XLA:CPU runtime on this 2-CPU
+    box intermittently segfaults executing large batched programs (native
+    crash inside generated code; never reproducible standalone -- see
+    test_warm_start_statistical_50k's note). Process isolation keeps the
+    tests' own behavior identical while sidestepping accumulated-session
+    state."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JRLQP_ISOLATED_INNER") == "1":
+        return False
+    env = dict(os.environ, JRLQP_ISOLATED_INNER="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x",
+         f"{__file__}::{test_name}"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    return True
+
 def test_carry_warm_start_trajectory():
     """Operator-reuse warm start (WarmCarry): on a drifting-bounds
     trajectory with fixed G/C, the carried-operator solve must match the
     cold solve exactly and converge in ~0 iterations
     (ref workload: benchmarks/SolversWarmStart.cpp:218-276)."""
+    if _run_in_fresh_process("test_carry_warm_start_trajectory"):
+        return
     import dataclasses
 
     from jrlqp_tpu.solver.fast import (
@@ -277,22 +304,8 @@ def test_warm_start_statistical_50k():
     must give 0 iterations and the same solution. Runs the 50k solves as 5
     vmapped 10k batches (TPU-style execution; seconds, not hours).
 
-    Runs in a FRESH subprocess: at the tail of a full-suite session the
-    XLA:CPU runtime on this 2-CPU box segfaults executing the 10k-batch
-    while-loop (native-code crash, not reproducible standalone or in any
-    small test combination); process isolation keeps the test's own
-    behavior identical while sidestepping the accumulated-session state."""
-    import os
-    import subprocess
-    import sys
-
-    if os.environ.get("JRLQP_50K_INNER") != "1":
-        env = dict(os.environ, JRLQP_50K_INNER="1")
-        r = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "-x",
-             f"{__file__}::test_warm_start_statistical_50k"],
-            env=env, capture_output=True, text=True, timeout=900)
-        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    Runs in a fresh subprocess (see _run_in_fresh_process)."""
+    if _run_in_fresh_process("test_warm_start_statistical_50k"):
         return
 
     from jrlqp_tpu.solver.dense import solve_batch
