@@ -33,7 +33,8 @@ from jrlqp_tpu.solver.fast import (
 )
 from jrlqp_tpu.testing.batch_gen import random_qp_batch
 
-N, M = 20, 40
+N = int(os.environ.get("WARM_N", "20"))
+M = int(os.environ.get("WARM_M", "40"))
 BATCH = int(os.environ.get("WARM_BATCH", "1024"))
 STEPS = int(os.environ.get("WARM_STEPS", "12"))
 # "resident" (default) = device-resident inputs, one SMALL jitted step
@@ -44,12 +45,75 @@ STEPS = int(os.environ.get("WARM_STEPS", "12"))
 # unrolled steps (the relay rejects both scan ops and very large
 # executables, kept for locally-attached TPUs);
 # "step" = legacy host-driven control loop
-MODE = os.environ.get("WARM_MODE", "resident")
+MODE = os.environ.get("WARM_MODE", "eager")
 # pack pinned to the hardware-proven size: the auto ladder's pack=32 rung
 # (legal by the VMEM model at n=20) is rejected by the relayed backend --
 # its remote compiler surfaces scoped-VMEM overflows as bare
 # INVALID_ARGUMENT instead of a compile error
 PACK = int(os.environ.get("WARM_PACK", "16"))
+
+
+def run_eager(base, drifts, opt):
+    """Device-resident inputs + DIRECT calls of the library's own jitted
+    entry points (no wrapper jit -- the relay rejects the wrapper-composed
+    executables for reasons it does not report); eager device-side drift
+    adds; async dispatch with one final barrier."""
+    def traj(warm):
+        for attempt in range(6):
+            try:
+                base_d = jax.tree.map(jnp.asarray, base)
+                drifts_d = jnp.asarray(drifts)
+                pb0 = dataclasses.replace(
+                    base_d, l=base_d.l + drifts_d[0],
+                    u=base_d.u + drifts_d[0])
+                res0, carry = solve_refined_pallas_carry(
+                    pb0, None, opt, pack=PACK)
+                np.asarray(res0.iterations)      # warmup barrier
+                outs = []
+                t0 = time.perf_counter()
+                for s in range(1, STEPS):        # async: no per-step sync
+                    d = drifts_d[s]
+                    pbs = dataclasses.replace(
+                        base_d, l=base_d.l + d, u=base_d.u + d)
+                    if warm:
+                        res, carry = solve_refined_pallas_carry(
+                            pbs, carry, opt, pack=PACK)
+                    else:
+                        res = solve_refined_pallas(pbs, opt, pack=PACK)
+                    outs.append(res)
+                np.asarray(outs[-1].iterations)  # single final barrier
+                dt = time.perf_counter() - t0
+                its = np.stack([np.asarray(r.iterations) for r in outs])
+                sts = np.stack([np.asarray(r.status) for r in outs])
+                return its, sts, dt / ((STEPS - 1) * BATCH) * 1e6
+            except jax.errors.JaxRuntimeError as e:
+                print(f"# traj(warm={warm}) attempt {attempt} failed: "
+                      f"{str(e)[:1500]}", file=sys.stderr)
+                if attempt == 5:
+                    raise
+                jax.clear_caches()
+                time.sleep(3.0 * (attempt + 1))
+
+    its_w, sts_w, us_w = traj(True)
+    its_c, sts_c, us_c = traj(False)
+    out = dict(
+        name=f"warm_start_trajectory/pallas/n={N}/m={M}/steps={STEPS}",
+        batch=BATCH,
+        steps=STEPS,
+        mode=("eager (device-resident inputs, direct jitted entry points, "
+              "async step dispatch, steady-state steps 1..S-1)"),
+        warm_mean_it=float(its_w.mean()),
+        cold_mean_it=float(its_c.mean()),
+        warm_us_per_solve=us_w,
+        cold_us_per_solve=us_c,
+        warm_success=float((sts_w == 0).mean()),
+        cold_success=float((sts_c == 0).mean()),
+    )
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "out", "warm_start.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
 
 
 def run_resident(base, drifts, opt):
@@ -97,7 +161,7 @@ def run_resident(base, drifts, opt):
                 return its, sts, dt / ((STEPS - 1) * BATCH) * 1e6
             except jax.errors.JaxRuntimeError as e:
                 print(f"# traj(warm={warm}) attempt {attempt} failed: "
-                      f"{str(e)[:70]}", file=sys.stderr)
+                      f"{str(e)[:1500]}", file=sys.stderr)
                 if attempt == 5:
                     raise
                 jax.clear_caches()
@@ -204,6 +268,9 @@ def main():
     assert STEPS >= 3, "need >=1 warmup step and >=2 timed steps"
     min_timed = min(3, STEPS - 2)
 
+    if MODE == "eager":
+        run_eager(base, drifts, opt)
+        return
     if MODE == "resident":
         run_resident(base, drifts, opt)
         return

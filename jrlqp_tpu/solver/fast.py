@@ -699,6 +699,10 @@ def solve_refined_pallas(
                 raise
             p = eff // 2
             _gk._PROVEN_PACK[key] = p
+            if p <= 1:
+                # the fused prologue needs the packed kernel; at pack 1
+                # fall back to the XLA init path
+                fused_init = False
 
 
 def _state_from_kernel_out(out: dict, B: int) -> FastState:
