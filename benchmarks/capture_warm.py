@@ -61,8 +61,15 @@ def run_eager(base, drifts, opt):
     def traj(warm):
         for attempt in range(6):
             try:
-                base_d = jax.tree.map(jnp.asarray, base)
-                drifts_d = jnp.asarray(drifts)
+                # generate ON DEVICE (the bench.py pattern): the relayed
+                # backend rejects this workload's host->device puts with a
+                # detail-free INVALID_ARGUMENT, while on-device generation
+                # works in every healthy window
+                base_d = random_qp_batch(
+                    jax.random.key(0), BATCH, N, M, act_frac=0.4,
+                    dtype=jnp.float32).with_dtype(base.l.dtype)
+                drifts_d = 0.02 * jax.random.normal(
+                    jax.random.key(1), (STEPS, BATCH, M), base.l.dtype)
                 pb0 = dataclasses.replace(
                     base_d, l=base_d.l + drifts_d[0],
                     u=base_d.u + drifts_d[0])

@@ -1,0 +1,116 @@
+"""Warm-start trajectory capture structured EXACTLY like bench.py.
+
+bench.py's shape of work (on-device generation, outer-jit-wrapped library
+calls, host-transfer barriers) executes reliably through the relayed TPU
+backend; every other capture structure tried this round was rejected with
+detail-free INVALID_ARGUMENT errors. This script is bench.py with the
+timing phase replaced by the drifting-bounds control-loop trajectory
+(ref: benchmarks/SolversWarmStart.cpp:31-59,162-169): cold solves every
+step vs WarmCarry operator reuse. Writes benchmarks/out/warm_start.json.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from jrlqp_tpu import SolverOptions
+from jrlqp_tpu.solver.fast import (
+    solve_refined_pallas,
+    solve_refined_pallas_carry,
+)
+from jrlqp_tpu.testing.batch_gen import random_qp_batch
+
+N = int(os.environ.get("WARM_N", "50"))
+M = int(os.environ.get("WARM_M", "100"))
+BATCH = int(os.environ.get("WARM_BATCH", "4096"))
+STEPS = int(os.environ.get("WARM_STEPS", "12"))
+
+
+def main():
+    opt = SolverOptions(max_iter=150, warm_start=True)
+
+    run_cold = jax.jit(lambda p: solve_refined_pallas(p, opt, ir_steps=1))
+    run_warm = jax.jit(
+        lambda p, c: solve_refined_pallas_carry(p, c, opt, ir_steps=1))
+    shift = jax.jit(lambda p, d: dataclasses.replace(p, l=p.l + d,
+                                                     u=p.u + d))
+
+    t_start = time.perf_counter()
+    pbs = random_qp_batch(jax.random.key(0), BATCH, N, M, act_frac=0.4,
+                          dtype=jnp.float32).with_dtype(jnp.float64)
+    np.asarray(pbs.a)  # force generation
+    drifts = 0.02 * jax.random.normal(jax.random.key(1), (STEPS, BATCH, M),
+                                      pbs.l.dtype)
+    np.asarray(drifts[0])
+    print(f"# gen done t={time.perf_counter() - t_start:.1f}s",
+          file=sys.stderr)
+
+    # compile + warm up every program, with barriers
+    pb0 = shift(pbs, drifts[0])
+    res0 = run_cold(pb0)
+    np.asarray(res0.iterations)
+    resw, carry0 = run_warm(pb0, None)
+    np.asarray(resw.iterations)
+    resw2, _ = run_warm(pb0, carry0)
+    np.asarray(resw2.iterations)
+    print(f"# compile+warmup done t={time.perf_counter() - t_start:.1f}s",
+          file=sys.stderr)
+
+    def traj(warm: bool):
+        """Steps 1..S-1 (steady state), async dispatch, final barrier."""
+        _, carry = run_warm(shift(pbs, drifts[0]), None)
+        outs = []
+        t0 = time.perf_counter()
+        for s in range(1, STEPS):
+            pb_s = shift(pbs, drifts[s])
+            if warm:
+                res, carry = run_warm(pb_s, carry)
+            else:
+                res = run_cold(pb_s)
+            outs.append(res)
+        np.asarray(outs[-1].iterations)  # single completion barrier
+        dt = time.perf_counter() - t0
+        its = np.stack([np.asarray(r.iterations) for r in outs])
+        sts = np.stack([np.asarray(r.status) for r in outs])
+        return its, sts, dt / ((STEPS - 1) * BATCH) * 1e6
+
+    its_w, sts_w, us_w = traj(True)
+    its_c, sts_c, us_c = traj(False)
+    out = dict(
+        name=f"warm_start_trajectory/pallas/n={N}/m={M}/steps={STEPS}",
+        batch=BATCH,
+        steps=STEPS,
+        mode=("bench-style (on-device generation, outer-jit entries, "
+              "async steady-state steps 1..S-1)"),
+        warm_mean_it=float(its_w.mean()),
+        cold_mean_it=float(its_c.mean()),
+        warm_us_per_solve=us_w,
+        cold_us_per_solve=us_c,
+        warm_speedup=us_c / us_w,
+        warm_success=float((sts_w == 0).mean()),
+        cold_success=float((sts_c == 0).mean()),
+    )
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "out", "warm_start.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
