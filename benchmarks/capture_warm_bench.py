@@ -72,22 +72,33 @@ def main():
           file=sys.stderr)
 
     def traj(warm: bool):
-        """Steps 1..S-1 (steady state), async dispatch, final barrier."""
-        _, carry = run_warm(shift(pbs, drifts[0]), None)
-        outs = []
-        t0 = time.perf_counter()
-        for s in range(1, STEPS):
-            pb_s = shift(pbs, drifts[s])
-            if warm:
-                res, carry = run_warm(pb_s, carry)
-            else:
-                res = run_cold(pb_s)
-            outs.append(res)
-        np.asarray(outs[-1].iterations)  # single completion barrier
-        dt = time.perf_counter() - t0
-        its = np.stack([np.asarray(r.iterations) for r in outs])
-        sts = np.stack([np.asarray(r.status) for r in outs])
-        return its, sts, dt / ((STEPS - 1) * BATCH) * 1e6
+        """Steps 1..S-1 (steady state), per-step completion barrier (the
+        relay dies on deep async execution queues; the ~23ms round trip
+        per step is identical for warm and cold, so it only ADDS a
+        constant to both -- the warm win is understated, not inflated)."""
+        for attempt in range(6):
+            try:
+                _, carry = run_warm(shift(pbs, drifts[0]), None)
+                its, sts = [], []
+                t0 = time.perf_counter()
+                for s in range(1, STEPS):
+                    pb_s = shift(pbs, drifts[s])
+                    if warm:
+                        res, carry = run_warm(pb_s, carry)
+                    else:
+                        res = run_cold(pb_s)
+                    its.append(np.asarray(res.iterations))  # per-step barrier
+                    sts.append(np.asarray(res.status))
+                dt = time.perf_counter() - t0
+                return (np.stack(its), np.stack(sts),
+                        dt / ((STEPS - 1) * BATCH) * 1e6)
+            except jax.errors.JaxRuntimeError as e:
+                print(f"# traj(warm={warm}) attempt {attempt} failed: "
+                      f"{str(e)[:90]}", file=sys.stderr)
+                if attempt == 5:
+                    raise
+                time.sleep(20.0 * (attempt + 1))
+        raise RuntimeError("unreachable")
 
     its_w, sts_w, us_w = traj(True)
     its_c, sts_c, us_c = traj(False)
@@ -96,7 +107,7 @@ def main():
         batch=BATCH,
         steps=STEPS,
         mode=("bench-style (on-device generation, outer-jit entries, "
-              "async steady-state steps 1..S-1)"),
+              "per-step barriers, steady-state steps 1..S-1)"),
         warm_mean_it=float(its_w.mean()),
         cold_mean_it=float(its_c.mean()),
         warm_us_per_solve=us_w,
