@@ -60,14 +60,17 @@ def main():
     print(f"# gen done t={time.perf_counter() - t_start:.1f}s",
           file=sys.stderr)
 
-    # compile + warm up every program, with barriers
+    # compile + warm up WITHOUT executing the single-shot cold-carry
+    # program (the relay rejects its re-execution): AOT-compile both carry
+    # specializations; warm run_cold by execution
     pb0 = shift(pbs, drifts[0])
     res0 = run_cold(pb0)
     np.asarray(res0.iterations)
-    resw, carry0 = run_warm(pb0, None)
-    np.asarray(resw.iterations)
-    resw2, _ = run_warm(pb0, carry0)
-    np.asarray(resw2.iterations)
+    run_warm.lower(pb0, None).compile()
+    carry_shape = jax.eval_shape(
+        lambda p: solve_refined_pallas_carry(p, None, opt, ir_steps=1),
+        pb0)[1]
+    run_warm.lower(pb0, carry_shape).compile()
     print(f"# compile+warmup done t={time.perf_counter() - t_start:.1f}s",
           file=sys.stderr)
 
@@ -100,8 +103,13 @@ def main():
                 time.sleep(20.0 * (attempt + 1))
         raise RuntimeError("unreachable")
 
-    its_w, sts_w, us_w = traj(True)
-    its_c, sts_c, us_c = traj(False)
+    # the cold-start carry program (carry=None) is executed exactly ONCE:
+    # the relay rejects re-executions of it (while the steady-state carry
+    # program and the cold program re-execute fine)
+    _, carry0 = run_warm(shift(pbs, drifts[0]), None)
+    jax.block_until_ready(carry0.H)
+    its_w, sts_w, us_w = traj(True, carry0)
+    its_c, sts_c, us_c = traj(False, carry0)
     out = dict(
         name=f"warm_start_trajectory/pallas/n={N}/m={M}/steps={STEPS}",
         batch=BATCH,
