@@ -74,14 +74,14 @@ def main():
     print(f"# compile+warmup done t={time.perf_counter() - t_start:.1f}s",
           file=sys.stderr)
 
-    def traj(warm: bool):
+    def traj(warm: bool, carry0):
         """Steps 1..S-1 (steady state), per-step completion barrier (the
         relay dies on deep async execution queues; the ~23ms round trip
         per step is identical for warm and cold, so it only ADDS a
         constant to both -- the warm win is understated, not inflated)."""
         for attempt in range(6):
             try:
-                _, carry = run_warm(shift(pbs, drifts[0]), None)
+                carry = carry0
                 its, sts = [], []
                 t0 = time.perf_counter()
                 for s in range(1, STEPS):
