@@ -60,6 +60,7 @@ from ...types import (
     LOWER_BOUND,
     MAX_ITER_REACHED,
     NON_POS_HESSIAN,
+    OVERCONSTRAINED_PROBLEM,
     RUNNING,
     SUCCESS,
     UPPER,
@@ -73,6 +74,19 @@ BIG = 1e30  # f32 infinity proxy inside the kernel
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _bmv(A, v):
+    """(P, R, C) @ (P, C) -> (P, R), batched on the MXU."""
+    return jax.lax.dot_general(A, v, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
+def _bouter(u_, v):
+    """(P, R) x (P, C) -> (P, R, C) batched outer product."""
+    return jax.lax.dot_general(u_[:, :, None], v[:, None, :],
+                               (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
 
 
 def _kernel(
@@ -372,16 +386,7 @@ def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
     # shrunken trace
     dep_thr = f32(2e-7) * tr0
 
-    def bmv(A, v):
-        """(P, R, C) @ (P, C) -> (P, R), batched on the MXU."""
-        return jax.lax.dot_general(A, v, (((2,), (1,)), ((0,), (0,))),
-                                   preferred_element_type=f32)
-
-    def bouter(u_, v):
-        """(P, R) x (P, C) -> (P, R, C) batched outer product."""
-        return jax.lax.dot_general(u_[:, :, None], v[:, None, :],
-                                   (((2,), (1,)), ((0,), (0,))),
-                                   preferred_element_type=f32)
+    bmv, bouter = _bmv, _bouter
 
     def rowmin(vals, iotf):
         """Per-row (min, argmin) via the f32 index-min trick (integer
@@ -620,9 +625,12 @@ def _kernel_packed_fused(
     Cholesky/teardown AND the (B, 2np_, np_) K0 HBM round trip. G must be
     IDENTITY-padded (the host fold does this when fused_init is on).
 
-    Restriction (checked by the caller): no equality constraints or fixed
-    variables -- the auto-activation replay (ref GoldfarbIdnaniSolver.cpp:
-    268-338) runs only in the XLA init path.
+    Equality constraints (l == u) and fixed variables (xl == xu) are
+    auto-activated by an in-kernel masked replay loop (ref initActiveSet +
+    addInitialConstraint, src/GoldfarbIdnaniSolver.cpp:268-338) -- the same
+    rank-one adds as fast._init_fast's while loop, processed per lane in
+    ascending index order. Batches without equalities skip the loop in one
+    cond evaluation, so fused_init now has NO input restriction.
     """
     from .block_llt import _bmm_tn, _chol_b, _tri_inv_b
 
@@ -650,18 +658,249 @@ def _kernel_packed_fused(
     x0 = jnp.where(posdef, x0, f32(0.0))
     K0 = jnp.concatenate([H0, jnp.zeros((P, np_, np_), f32)], axis=1)
 
+    # ---- in-kernel equality / fixed-variable auto-activation ----
+    iot_n = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+    iot_m = jax.lax.broadcasted_iota(jnp.int32, (1, mp_), 1)
+    iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
+    iotf_mt = iot_mt.astype(f32)
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, 1), 1)
+    rowC = jax.lax.broadcasted_iota(jnp.int32, (1, mp_, 1), 1)
+    lo, up, xlo, xup = l_ref[0], u_ref[0], xl_ref[0], xu_ref[0]
+    C = C_ref[0]
+    real_m = iot_m < i32(m)
+    real_n = iot_n < i32(n)
+    # remaining-equality mask kept as f32 0/1 (bool vector carries /
+    # concatenations hit Mosaic register-cast limits)
+    eqm = jnp.concatenate(
+        [jnp.where((lo == up) & real_m, f32(1.0), f32(0.0)),
+         jnp.where((xlo == xup) & real_n, f32(1.0), f32(0.0))],
+        axis=1)                                                 # (P, mtp_)
+    neq = jnp.sum(eqm, axis=1, keepdims=True)
+    over = neq > f32(n)
+    dep_thr = f32(2e-7) * tr0
+    term0 = jnp.where(posdef, i32(RUNNING), i32(NON_POS_HESSIAN))
     zc = jnp.zeros((P, 1), jnp.int32)
+
+    def has_rem(rem):
+        # bool/int reductions are unsupported in Mosaic: reduce in f32
+        return jnp.max(rem, axis=1, keepdims=True) > f32(0.5)
+
+    def eq_cond(c):
+        rem, term = c[0], c[7]
+        act = (term == i32(RUNNING)) & has_rem(rem)
+        return jnp.max(jnp.where(act, f32(1.0), f32(0.0))) > f32(0.0)
+
+    def eq_body(c):
+        rem, x, K, u, status, aorder, statk, term, q = c
+        act = (term == i32(RUNNING)) & has_rem(rem)             # (P, 1)
+        # first remaining index (ascending: constraints, then bounds --
+        # same order as fast._init_fast's argsort perm)
+        idx = jnp.min(jnp.where(rem > f32(0.5), iotf_mt, f32(BIG)), axis=1,
+                      keepdims=True).astype(jnp.int32)          # (P, 1)
+        is_bnd = idx >= i32(mp_)
+        st = jnp.where(is_bnd, i32(FIXED), i32(EQUALITY))
+        cidx = jnp.clip(idx, i32(0), i32(mp_ - 1))
+        cmask = rowC == cidx[:, :, None]
+        crow = jnp.sum(jnp.where(cmask, C, f32(0.0)), axis=1)   # (P, np_)
+        e = (iot_n == (idx - i32(mp_))).astype(f32)
+        nplus = jnp.where(is_bnd, e, crow)                      # sign +1
+        zr = _bmv(K, nplus)
+        z = zr[:, :np_]
+        r = zr[:, np_:]
+        # EQUALITY steps to l, FIXED to xl (ref _selected_bound semantics)
+        b_gen = jnp.sum(jnp.where(iot_m == cidx, lo, f32(0.0)),
+                        axis=1, keepdims=True)
+        b_bnd = jnp.sum(jnp.where(iot_n == (idx - i32(mp_)), xlo, f32(0.0)),
+                        axis=1, keepdims=True)
+        b = jnp.where(is_bnd, b_bnd, b_gen)
+        nz = jnp.sum(nplus * z, axis=1, keepdims=True)
+        nn = jnp.sum(nplus * nplus, axis=1, keepdims=True)
+        nz_safe = jnp.where(nz != f32(0.0), nz, f32(1.0))
+        nx = jnp.sum(nplus * x, axis=1, keepdims=True)
+        zz = jnp.sum(z * z, axis=1, keepdims=True)
+        t = jnp.where(zz > f32(0.0), (b - nx) / nz_safe, f32(0.0))
+        t = jnp.where(act, t, f32(0.0))          # frozen lanes: no motion
+        r_head = jnp.where(iot_n < q, r, f32(0.0))
+        u2 = u - t * r_head
+        u2 = jnp.where(iot_n == q, u2 + t, u2)
+        x2 = x + t * z
+        dependent = nz <= dep_thr * nn
+        dsafe = jnp.where(dependent, f32(1.0), nz)
+        zn = z / dsafe
+        u_upd = jnp.where(act, jnp.concatenate([z, r_head], axis=1),
+                          f32(0.0))
+        K2 = K - _bouter(u_upd, zn)
+        K2 = jnp.where(act[:, :, None] & (row3 == (i32(np_) + q)[:, :, None]),
+                       zn[:, None, :], K2)
+        status2 = jnp.where(act & (iot_mt == idx), st, status)
+        aorder2 = jnp.where(act & (iot_n == q), idx, aorder)
+        statk2 = jnp.where(act & (iot_n == q), st.astype(f32), statk)
+        term2 = jnp.where(act & dependent, i32(LINEAR_DEPENDENCY_DETECTED),
+                          term)
+        q2 = jnp.where(act, q + i32(1), q)
+        rem2 = jnp.where(act & (iot_mt == idx), f32(0.0), rem)
+        return (rem2, x2, K2, u2, status2, aorder2, statk2, term2, q2)
+
+    eq0 = (eqm, x0, K0, jnp.zeros((P, np_), f32),
+           jnp.zeros((P, mtp_), jnp.int32),
+           jnp.full((P, np_), -1, jnp.int32),
+           jnp.zeros((P, np_), f32), term0, zc)
+    (_, x0, K0, u0, status0, aorder0, statk0, term0, q0) = (
+        jax.lax.while_loop(eq_cond, eq_body, eq0))
+    term0 = jnp.where(over & (term0 == i32(RUNNING)),
+                      i32(OVERCONSTRAINED_PROBLEM), term0)
+
     init = (
-        x0, K0, jnp.zeros((P, np_), f32),
-        jnp.zeros((P, mtp_), jnp.int32),
-        jnp.full((P, np_), -1, jnp.int32),
-        jnp.zeros((P, np_), f32), jnp.zeros((P, np_), f32),
-        zc, zc,
-        jnp.where(posdef, i32(RUNNING), i32(NON_POS_HESSIAN)),
-        zc, zc - 1, zc,
+        x0, K0, u0, status0, aorder0, statk0, jnp.zeros((P, np_), f32),
+        q0, zc, term0, zc, zc - 1, zc,
     )
     out = _packed_iterate(
         G, C_ref[0], l_ref[0], u_ref[0], xl_ref[0], xu_ref[0],
+        tr0, init, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
+        max_iter=max_iter, P=P)
+    (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
+     sc_idx, sc_st) = out
+    term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
+                     term).astype(jnp.int32)
+
+    x_out[0] = x
+    u_out[0] = uvec
+    st_out[0] = status
+    ao_out[0] = aorder
+    K_out[0] = K
+    fs_out[0] = tr0 * (jax.lax.broadcasted_iota(
+        jnp.int32, (P, 8), 1) == 0).astype(f32)
+    zero = jnp.zeros((P, 1), jnp.int32)
+    scal_out[0] = jnp.concatenate(
+        [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
+
+
+def _kernel_packed_warm(
+    G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref, a_ref,
+    K0_ref, st0_ref, ao0_ref, sk0_ref, b0_ref, scal0_ref,
+    x_out, u_out, st_out, ao_out, scal_out, K_out, fs_out,
+    *, n, m, np_, mp_, mtp_, max_iter, P,
+):
+    """Packed kernel with the WARM-CARRY INIT fused in as a prologue.
+
+    The carry (K = [H; N*], status, aorder, statk, q from the previous
+    solve of a trajectory) plus the NEW a and active signed bounds b_act
+    come in via refs; the prologue computes the closed-form primal/dual
+    point through the carried operators
+
+        x = N*^T b_act - H a = K^T [-a; b_act],   u = (K [a + G x])[np_:]
+
+    then runs the u<0 one-at-a-time deactivation downdates (the in-kernel
+    analog of fast._init_fast_from_carry / _deactivate_negative_u, ref:
+    src/experimental/GoldfarbIdnaniSolver.cpp:83-108) before entering the
+    main GI loop. This replaces the XLA carry-init (3 batched matvecs + a
+    whole-batch downdate while loop + the K0 round trip through a separate
+    program region) with VMEM-resident work inside the single launch.
+    """
+    f32 = jnp.float32
+    i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+    one = i32(1)
+    G = G_ref[0]
+    C = C_ref[0]
+    a = a_ref[0]                                    # (P, np_)
+    K = K0_ref[0]                                   # (P, 2np_, np_)
+    status = st0_ref[0]
+    aorder = ao0_ref[0]
+    statk = sk0_ref[0]
+    b_act = b0_ref[0]                               # (P, np_) signed
+    scal0 = scal0_ref[0]                            # (P, 8) int32
+    q = scal0[:, 0:1]
+
+    iot_n = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+    iotf_n = iot_n.astype(f32)
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, 1), 1)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
+    eye3 = (row3 == col3).astype(f32)               # H-diagonal selector
+    tr0 = jnp.maximum(jnp.sum(jnp.sum(K * eye3, axis=2), axis=1,
+                              keepdims=True), f32(1e-30))        # (P, 1)
+
+    def closed_form(K, b, q):
+        bf = jnp.concatenate([-a, b], axis=1)       # (P, 2np_)
+        x = jax.lax.dot_general(K, bf, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=f32)
+        u = _bmv(K, a + _bmv(G, x))[:, np_:]
+        return x, jnp.where(iot_n < q, u, f32(0.0))
+
+    x, uvec = closed_form(K, b_act, q)
+
+    # ---- u < 0 deactivation downdates (one slot at a time per lane) ----
+    utol = f32(-1e-5)
+
+    def worst(uv, statk, q):
+        elig = ((iot_n < q) & (statk != f32(EQUALITY))
+                & (statk != f32(FIXED)))
+        vals = jnp.where(elig, uv, f32(0.0))
+        mn = jnp.min(vals, axis=1, keepdims=True)
+        lpos = jnp.min(jnp.where(vals == mn, iotf_n, f32(BIG)),
+                       axis=1, keepdims=True).astype(jnp.int32)
+        return mn, lpos
+
+    def d_cond(c):
+        uv, statk, q = c[1], c[4], c[6]
+        mn, _ = worst(uv, statk, q)
+        return jnp.max(jnp.where(mn < utol, f32(1.0), f32(0.0))) > f32(0.0)
+
+    def d_body(c):
+        K, uv, status, aorder, statk, b, q, x, it = c
+        mn, lpos = worst(uv, statk, q)
+        act = mn < utol                              # (P, 1)
+        act3 = act[:, :, None]
+        lmask3 = row3 == (i32(np_) + lpos)[:, :, None]
+        nl = jnp.sum(jnp.where(lmask3, K, f32(0.0)), axis=1)    # (P, np_)
+        v = _bmv(G, nl)
+        w = _bmv(K, v)[:, np_:]
+        wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)), axis=1,
+                     keepdims=True)
+        wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
+        wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, f32(0.0))
+        stack = jnp.concatenate([-nl, wmask], axis=1) / wl_safe
+        stack = jnp.where(act, stack, f32(0.0))
+        K2 = K - _bouter(stack, nl)
+        rolled = pltpu.roll(K2, i32(2 * np_ - 1), axis=1)
+        lrow = (i32(np_) + lpos)[:, :, None]
+        qrow = (i32(np_) + q)[:, :, None]
+        K2 = jnp.where(act3 & (row3 >= lrow) & (row3 < qrow - one),
+                       rolled, K2)
+        K2 = jnp.where(act3 & (row3 >= qrow - one), f32(0.0), K2)
+        rem_idx = jnp.sum(jnp.where(
+            iot_n == lpos,
+            jnp.clip(aorder, i32(0), i32(mtp_ - 1)).astype(f32), f32(0.0)),
+            axis=1, keepdims=True).astype(jnp.int32)
+        iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
+        status2 = jnp.where(act & (iot_mt == rem_idx), i32(0), status)
+        shift = act & (iot_n >= lpos) & (iot_n < q - one)
+        aorder2 = jnp.where(shift, pltpu.roll(aorder, i32(np_ - 1), axis=1),
+                            aorder)
+        aorder2 = jnp.where(act & (iot_n >= q - one), i32(-1), aorder2)
+        statk2 = jnp.where(shift, pltpu.roll(statk, i32(np_ - 1), axis=1),
+                           statk)
+        statk2 = jnp.where(act & (iot_n >= q - one), f32(0.0), statk2)
+        b2 = jnp.where(shift, pltpu.roll(b, i32(np_ - 1), axis=1), b)
+        b2 = jnp.where(act & (iot_n >= q - one), f32(0.0), b2)
+        q2 = jnp.where(act, q - one, q)
+        x2, u2 = closed_form(K2, b2, q2)
+        x2 = jnp.where(act, x2, x)
+        u2 = jnp.where(act, u2, uv)
+        it2 = jnp.where(act, it + one, it)
+        return (K2, u2, status2, aorder2, statk2, b2, q2, x2, it2)
+
+    d0 = (K, uvec, status, aorder, statk, b_act, q, x,
+          jnp.zeros((P, 1), jnp.int32))
+    (K, uvec, status, aorder, statk, b_act, q, x, it0) = (
+        jax.lax.while_loop(d_cond, d_body, d0))
+
+    zc = jnp.zeros((P, 1), jnp.int32)
+    init = (
+        x, K, uvec, status, aorder, statk, jnp.zeros((P, np_), f32),
+        q, it0, jnp.full((P, 1), RUNNING, jnp.int32), zc, zc - 1, zc,
+    )
+    out = _packed_iterate(
+        G, C, l_ref[0], u_ref[0], xl_ref[0], xu_ref[0],
         tr0, init, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
         max_iter=max_iter, P=P)
     (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
@@ -692,18 +931,22 @@ def _auto_pack(np_: int, mp_: int) -> int:
 
     Empirical model from v5e compile failures: the per-problem scoped
     footprint is ~5x the raw f32 bytes of (G + C + 3K + rows); packs of
-    {32, 24, 16, 8, 4, 2, 1} are tried against a 13MB budget (headroom
-    under the ~16MB/core VMEM of v4/v5e/v5p/v6e). The model is empirical:
-    on a generation with a different scoped limit a too-large auto pack
-    fails LOUDLY at Mosaic compile time, and solve_refined_pallas
-    self-heals by halving -- override with ``pack=`` or the
-    ``JRLQP_VMEM_BUDGET_MB`` env var otherwise."""
+    {16, 8, 4, 2, 1} are tried against a 13MB budget (headroom under the
+    ~16MB/core VMEM of v4/v5e/v5p/v6e). The auto ladder is capped at 16:
+    pack 24/32 rungs are legal per this model at small n, but at least one
+    deployed backend (the remote-relay TPU) rejects them with a bare
+    INVALID_ARGUMENT instead of a Mosaic VMEM error, which the self-heal
+    in solve_refined_pallas also catches -- still, a known-good default
+    beats a heal cycle. Opt into larger packs with ``pack=`` or
+    ``JRLQP_AUTO_PACK_MAX``; adjust the budget with
+    ``JRLQP_VMEM_BUDGET_MB``."""
     raw = (np_ * np_ + mp_ * np_ + 3 * (2 * np_ * np_)
            + 8 * np_ + 4 * mp_) * 4
     per_problem = 5 * raw
     budget = int(os.environ.get("JRLQP_VMEM_BUDGET_MB", "13")) * 2 ** 20
+    cap = int(os.environ.get("JRLQP_AUTO_PACK_MAX", "16"))
     for pack in (32, 24, 16, 8, 4, 2):
-        if pack * per_problem <= budget:
+        if pack <= cap and pack * per_problem <= budget:
             return pack
     return 1
 
@@ -728,12 +971,11 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     index layout.
 
     ``fused_init=True`` runs the cold init (batched Cholesky, H0 = G^-1,
-    x0 = -H0 a) INSIDE the kernel as a prologue (``_kernel_packed_fused``):
-    no XLA init, no (B, 2np_, np_) K0 HBM round trip. ``state0`` is ignored
-    (pass None); the caller must guarantee no equality constraints or fixed
-    variables (their auto-activation replay exists only in the XLA init)
-    and pack > 1. The presort proxy is then violations at the diagonal
-    estimate x~ = -a/diag(G) (x0 does not exist before the kernel runs).
+    x0 = -H0 a, equality/fixed auto-activation) INSIDE the kernel as a
+    prologue (``_kernel_packed_fused``): no XLA init, no (B, 2np_, np_) K0
+    HBM round trip. ``state0`` is ignored (pass None); requires pack > 1.
+    The presort proxy is then violations at the diagonal estimate
+    x~ = -a/diag(G) (x0 does not exist before the kernel runs).
     """
     if pack is None:
         key = (_round_up(pb32.a.shape[1] + 1, 8),
@@ -1019,4 +1261,157 @@ def _run_fused(G, C, l, u, xl, xu, a_row, inv, Borig, B, n, m,
     K = K.reshape(B, 2 * np_, np_)[:Borig]
     fs = fs.reshape(B, 1, 8)[:Borig]
     return _postprocess(x, uvec, status, aorder, scal, K, fs, inv,
+                        n, m, np_, mp_)
+
+
+def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
+                         max_iter: int, interpret: bool = False,
+                         pack: int | None = None):
+    """Warm-carry batched solve with the carry-init fused into the kernel.
+
+    ``H``/``Ns``/``status``/``aorder``/``q`` are the previous solve's
+    operators and active set (fast.WarmCarry leaves, library index layout).
+    The XLA side only pads/remaps the carry and gathers the per-slot signed
+    active bounds b_act for the NEW problem bounds; everything else -- the
+    closed-form primal/dual point, the u<0 deactivation downdates, the GI
+    loop -- runs inside one kernel launch (``_kernel_packed_warm``).
+
+    Returns the same dict as :func:`run_loop_pallas`, or ``None`` when the
+    resolved pack is 1 (the warm kernel is packed-only; the caller falls
+    back to the XLA carry-init + standard kernel).
+    """
+    from ...types import LOWER_BOUND as _LB, UPPER as _UP, \
+        UPPER_BOUND as _UB
+
+    if pack is None:
+        key = (_round_up(pb32.a.shape[1] + 1, 8),
+               _round_up(max(pb32.C.shape[1], 1), 8))
+        pack = _PROVEN_PACK.get(key) or _auto_pack(*key)
+    if pack <= 1:
+        return None
+    B0, n = pb32.a.shape
+    m = pb32.C.shape[1]
+
+    # ---- b_act: per-slot signed active bounds from the NEW problem ----
+    # (sign convention of warm_start._active_normals_and_bounds: LOWER /
+    # EQUALITY -> l, UPPER -> -u, LOWER_BOUND/FIXED -> xl,
+    # UPPER_BOUND -> -xu; zero beyond q)
+    k = jnp.arange(n)
+    valid = k[None, :] < q[:, None]
+    idxs = jnp.where(valid, aorder, 0)
+    sts = jnp.take_along_axis(status, jnp.clip(idxs, 0, m + n - 1), axis=1)
+    if m > 0:
+        ci = jnp.clip(idxs, 0, m - 1)
+        b_gen = jnp.where(sts == _UP,
+                          -jnp.take_along_axis(pb32.u, ci, axis=1),
+                          jnp.take_along_axis(pb32.l, ci, axis=1))
+    else:
+        b_gen = jnp.zeros_like(pb32.a)
+    bi = jnp.clip(idxs - m, 0, n - 1)
+    b_bnd = jnp.where(sts == _UB,
+                      -jnp.take_along_axis(pb32.xu, bi, axis=1),
+                      jnp.take_along_axis(pb32.xl, bi, axis=1))
+    b_act = jnp.where(valid, jnp.where(sts >= _LB, b_bnd, b_gen), 0.0)
+    statk = jnp.where(valid, sts, 0).astype(jnp.float32)
+
+    # ---- pad batch to a pack multiple ----
+    pad = (-B0) % pack
+    arrs = dict(G=pb32.G, C=pb32.C, l=pb32.l, u=pb32.u, xl=pb32.xl,
+                xu=pb32.xu, a=pb32.a, H=H, Ns=Ns, status=status,
+                aorder=aorder, q=q, b_act=b_act, statk=statk)
+    if pad:
+        idx0 = jnp.arange(B0 + pad) % B0
+        arrs = {kk: jnp.take(v, idx0, axis=0) for kk, v in arrs.items()}
+    B = B0 + pad
+    np_ = _round_up(n + 1, 8)
+    mp_ = _round_up(max(m, 1), 8)
+    mtp_ = mp_ + np_
+    f32 = jnp.float32
+
+    def pad2(A, r, c):
+        return jnp.zeros((B, r, c), f32).at[
+            :, : A.shape[1], : A.shape[2]].set(A.astype(f32))
+
+    def padrow(v, c, fill=0.0):
+        out = jnp.full((B, 1, c), fill, f32)
+        return out.at[:, 0, : v.shape[1]].set(
+            jnp.nan_to_num(v.astype(f32), posinf=BIG * 10, neginf=-BIG * 10)
+        )
+
+    G = pad2(arrs["G"], np_, np_)
+    C = pad2(arrs["C"], mp_, np_)
+    l = padrow(arrs["l"], mp_, fill=-BIG * 10)
+    u = padrow(arrs["u"], mp_, fill=BIG * 10)
+    xl = padrow(arrs["xl"], np_, fill=-BIG * 10)
+    xu = padrow(arrs["xu"], np_, fill=BIG * 10)
+    a_row = padrow(arrs["a"], np_)
+    b0 = padrow(arrs["b_act"], np_)
+    sk0 = padrow(arrs["statk"], np_)
+    K0 = jnp.concatenate([pad2(arrs["H"], np_, np_),
+                          pad2(arrs["Ns"], np_, np_)], axis=1)
+    st_c = arrs["status"][:, :m]
+    st_b = arrs["status"][:, m:]
+    st0 = jnp.zeros((B, 1, mtp_), jnp.int32)
+    st0 = st0.at[:, 0, :m].set(st_c).at[:, 0, mp_:mp_ + n].set(st_b)
+    ao = arrs["aorder"]
+    ao_remap = jnp.where(ao >= m, ao - m + mp_, ao)
+    ao_remap = jnp.where(ao < 0, -1, ao_remap)
+    ao0 = jnp.full((B, 1, np_), -1, jnp.int32).at[:, 0, :n].set(ao_remap)
+    scal0 = jnp.zeros((B, 1, 8), jnp.int32).at[:, 0, 0].set(
+        arrs["q"].astype(jnp.int32))
+
+    P = pack
+    BP = B // P
+
+    def spec(*shape):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda i, _k=len(shape): (i,) + (jnp.zeros((), jnp.int32),) * _k,
+            memory_space=pltpu.VMEM,
+        )
+
+    def fold_m(A):
+        return A.reshape(BP, P, A.shape[1], A.shape[2])
+
+    def fold_r(A):
+        return A.reshape(BP, P, A.shape[2])
+
+    kern = functools.partial(
+        _kernel_packed_warm, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
+        max_iter=max_iter, P=P,
+    )
+    x, uvec, status_o, aorder_o, scal, K, fs = pl.pallas_call(
+        kern,
+        grid=(BP,),
+        in_specs=[
+            spec(P, np_, np_), spec(P, mp_, np_), spec(P, mp_),
+            spec(P, mp_), spec(P, np_), spec(P, np_), spec(P, np_),
+            spec(P, 2 * np_, np_), spec(P, mtp_), spec(P, np_),
+            spec(P, np_), spec(P, np_), spec(P, 8),
+        ],
+        out_specs=[
+            spec(P, np_), spec(P, np_), spec(P, mtp_), spec(P, np_),
+            spec(P, 8), spec(P, 2 * np_, np_), spec(P, 8),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, P, np_), f32),
+            jax.ShapeDtypeStruct((BP, P, np_), f32),
+            jax.ShapeDtypeStruct((BP, P, mtp_), jnp.int32),
+            jax.ShapeDtypeStruct((BP, P, np_), jnp.int32),
+            jax.ShapeDtypeStruct((BP, P, 8), jnp.int32),
+            jax.ShapeDtypeStruct((BP, P, 2 * np_, np_), f32),
+            jax.ShapeDtypeStruct((BP, P, 8), f32),
+        ],
+        interpret=interpret,
+    )(fold_m(G), fold_m(C), fold_r(l), fold_r(u), fold_r(xl), fold_r(xu),
+      fold_r(a_row), fold_m(K0), fold_r(st0), fold_r(ao0), fold_r(sk0),
+      fold_r(b0), fold_r(scal0))
+    x = x.reshape(B, 1, np_)[:B0]
+    uvec = uvec.reshape(B, 1, np_)[:B0]
+    status_o = status_o.reshape(B, 1, mtp_)[:B0]
+    aorder_o = aorder_o.reshape(B, 1, np_)[:B0]
+    scal = scal.reshape(B, 1, 8)[:B0]
+    K = K.reshape(B, 2 * np_, np_)[:B0]
+    fs = fs.reshape(B, 1, 8)[:B0]
+    return _postprocess(x, uvec, status_o, aorder_o, scal, K, fs, None,
                         n, m, np_, mp_)

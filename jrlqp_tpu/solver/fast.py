@@ -638,14 +638,30 @@ def _solve_refined_pallas_jit(
         state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
     out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
                           pack=pack, fused_init=fused_init)
-    return _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
+    st = _state_from_kernel_out(out, B)
+    if fused_init and opt.validate:
+        # the XLA init applies this gating inside _init_fast_from_ops; the
+        # fused in-kernel init must honor opt.validate identically
+        from ..types import INCONSISTENT_INPUT
+        from ..validation import inconsistent_mask
+
+        bad = jax.vmap(inconsistent_mask)(pb32)
+        st = dataclasses.replace(st, term=jnp.where(
+            bad, INCONSISTENT_INPUT, st.term).astype(jnp.int32))
+    return _refine_batch(pbs, st, ir_steps)
 
 
 def _is_vmem_compile_error(e: Exception) -> bool:
     s = str(e).lower()
-    return ("vmem" in s or "scoped" in s) and (
+    if ("vmem" in s or "scoped" in s) and (
         "exceed" in s or "limit" in s or "alloc" in s or "mosaic" in s
-    )
+    ):
+        return True
+    # The remote-relay TPU backend surfaces scoped-VMEM overflows from its
+    # remote compiler as a bare INVALID_ARGUMENT with no detail; treat that
+    # as a pack-too-large signal too (halving is harmless -- if the error
+    # persists down to pack 1 it is re-raised unchanged).
+    return "invalid_argument" in s or "invalid argument" in s
 
 
 def solve_refined_pallas(
@@ -665,11 +681,12 @@ def solve_refined_pallas(
     ``vmap(solve_refined)``.
 
     ``fused_init=True`` moves the cold init (batched Cholesky, H0 = G^-1,
-    x0 = -H0 a) INTO the kernel as a per-pack prologue -- eliminates the
-    XLA init and the K0 HBM round trip (~15-20%% of wall at n=50). Only
-    valid for batches with NO equality constraints (l == u) or fixed
-    variables (xl == xu): their auto-activation replay exists only in the
-    XLA init path. The caller asserts that contract.
+    x0 = -H0 a, equality/fixed auto-activation) INTO the kernel as a
+    per-pack prologue -- eliminates the XLA init and the K0 HBM round trip
+    (~15-20%% of wall at n=50). Valid for any input (equality constraints
+    l == u and fixed variables xl == xu are auto-activated by an in-kernel
+    replay loop); requires the packed kernel, so at pack <= 1 it silently
+    falls back to the XLA init.
 
     Pack selection is self-healing: when ``pack`` is None and the
     auto-sized pack overflows the device's scoped VMEM at Mosaic compile
@@ -682,12 +699,19 @@ def solve_refined_pallas(
     """
     from ..ops.pallas import gi_kernel as _gk
 
-    if pack is not None or interpret:
-        return _solve_refined_pallas_jit(pbs, opt, ir_steps, interpret, pack,
-                                         fused_init)
     n = pbs.a.shape[1]
     m = pbs.C.shape[1]
     key = (_gk._round_up(n + 1, 8), _gk._round_up(max(m, 1), 8))
+    if pack is not None or interpret:
+        # resolve the effective pack so fused_init degrades to the XLA
+        # init (instead of run_loop_pallas raising) when it is <= 1,
+        # mirroring the self-heal branch below
+        eff = (pack if pack is not None
+               else _gk._PROVEN_PACK.get(key) or _gk._auto_pack(*key))
+        if eff <= 1:
+            fused_init = False
+        return _solve_refined_pallas_jit(pbs, opt, ir_steps, interpret, pack,
+                                         fused_init)
     p = _gk._PROVEN_PACK.get(key)
     while True:
         try:
@@ -975,22 +999,49 @@ def solve_refined_pallas_carry(
     factorization work (see :class:`WarmCarry` -- requires G and C
     unchanged across the sequence). First call: ``carry=None`` (cold).
     Warm calls skip the difficulty presort (near-converged lanes finish
-    in 0-3 iterations anyway, the sort would cost more than it saves).
+    in 0-3 iterations anyway, the sort would cost more than it saves) and
+    run the ENTIRE carry-init (closed-form primal/dual point + u<0
+    deactivation downdates) inside the kernel prologue
+    (:func:`jrlqp_tpu.ops.pallas.gi_kernel.run_warm_loop_pallas`), so the
+    warm step's cost tracks its (tiny) iteration count instead of paying
+    an XLA init + K0 round trip per step.
     """
-    from ..ops.pallas.gi_kernel import run_loop_pallas
+    from ..ops.pallas.gi_kernel import (
+        _PROVEN_PACK,
+        _auto_pack,
+        _round_up,
+        run_loop_pallas,
+        run_warm_loop_pallas,
+    )
 
-    B = pbs.a.shape[0]
+    B, n = pbs.a.shape
+    m = pbs.C.shape[1]
     pb32 = pbs.with_dtype(jnp.float32)
     opt32 = opt.with_(dtype=jnp.float32, zero_z_threshold=1e-6)
+    key = (_round_up(n + 1, 8), _round_up(max(m, 1), 8))
+    eff = (pack if pack is not None
+           else _PROVEN_PACK.get(key) or _auto_pack(*key))
     if carry is None:
-        state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
-        presort = True
+        if eff > 1:
+            out = run_loop_pallas(pb32, None, opt.max_iter,
+                                  interpret=interpret, pack=pack,
+                                  presort=True, fused_init=True)
+        else:
+            state0 = jax.vmap(lambda p: _init_fast(p, opt32))(pb32)
+            out = run_loop_pallas(pb32, state0, opt.max_iter,
+                                  interpret=interpret, pack=pack,
+                                  presort=True)
     else:
-        state0 = jax.vmap(_init_fast_from_carry)(
-            pb32, carry.H, carry.Ns, carry.status, carry.aorder, carry.q)
-        presort = False
-    out = run_loop_pallas(pb32, state0, opt.max_iter, interpret=interpret,
-                          pack=pack, presort=presort)
+        out = run_warm_loop_pallas(pb32, carry.H, carry.Ns, carry.status,
+                                   carry.aorder, carry.q, opt.max_iter,
+                                   interpret=interpret, pack=pack)
+        if out is None:  # pack 1: the warm kernel is packed-only
+            state0 = jax.vmap(_init_fast_from_carry)(
+                pb32, carry.H, carry.Ns, carry.status, carry.aorder,
+                carry.q)
+            out = run_loop_pallas(pb32, state0, opt.max_iter,
+                                  interpret=interpret, pack=pack,
+                                  presort=False)
     res = _refine_batch(pbs, _state_from_kernel_out(out, B), ir_steps)
     new_carry = WarmCarry(H=out["H"], Ns=out["Ns"], status=out["status"],
                           aorder=out["aorder"], q=out["q"])

@@ -88,6 +88,78 @@ def test_fused_init_matches_xla_init():
     assert float(jnp.max(np.asarray(resid))) <= 1e-8
 
 
+def test_fused_init_with_equalities_and_fixed():
+    """The in-kernel equality/fixed auto-activation prologue (fused_init)
+    must match the XLA init's replay loop on equality-bearing batches --
+    the round-4 advisory's silent-wrong-answer trap is now impossible."""
+    import dataclasses
+
+    opt = SolverOptions(max_iter=80)
+    pbs = random_qp_batch(jax.random.key(21), 6, 9, 6, act_frac=0.3)
+    l = pbs.l.at[:, 0].set(pbs.u[:, 0])          # constraint 0 equality
+    l = l.at[:, 3].set(pbs.u[:, 3])              # constraint 3 equality
+    xl = pbs.xl.at[:, 2].set(0.41)
+    xu = pbs.xu.at[:, 2].set(0.41)               # variable 2 fixed
+    pbs = dataclasses.replace(pbs, l=l, xl=xl, xu=xu)
+    r0 = solve_refined_pallas(pbs, opt, interpret=True, pack=2)
+    r1 = solve_refined_pallas(pbs, opt, interpret=True, pack=2,
+                              fused_init=True)
+    np.testing.assert_array_equal(np.asarray(r0.status),
+                                  np.asarray(r1.status))
+    np.testing.assert_array_equal(np.asarray(r0.iterations),
+                                  np.asarray(r1.iterations))
+    np.testing.assert_allclose(np.asarray(r0.x), np.asarray(r1.x),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r1.x[:, 2]), 0.41, atol=1e-6)
+    resid = jax.vmap(kkt_residual)(r1.x, r1.multipliers, pbs)
+    assert float(jnp.max(np.asarray(resid))) <= 1e-8
+
+
+def test_fused_init_equality_only_lane_mix():
+    """Mixed pack: some lanes carry equalities, others none -- the masked
+    prologue must only advance the equality-bearing lanes."""
+    import dataclasses
+
+    opt = SolverOptions(max_iter=80)
+    pbs = random_qp_batch(jax.random.key(22), 4, 8, 10, act_frac=0.4)
+    l = pbs.l.at[1, 2].set(pbs.u[1, 2])          # lane 1 only: equality
+    xl = pbs.xl.at[3, 0].set(-0.2)
+    xu = pbs.xu.at[3, 0].set(-0.2)               # lane 3 only: fixed var
+    pbs = dataclasses.replace(pbs, l=l, xl=xl, xu=xu)
+    r0 = solve_refined_pallas(pbs, opt, interpret=True, pack=4)
+    r1 = solve_refined_pallas(pbs, opt, interpret=True, pack=4,
+                              fused_init=True)
+    np.testing.assert_array_equal(np.asarray(r0.status),
+                                  np.asarray(r1.status))
+    np.testing.assert_allclose(np.asarray(r0.x), np.asarray(r1.x),
+                               atol=1e-7)
+
+
+def test_warm_carry_kernel_large_drift():
+    """The in-kernel warm-carry prologue (closed-form point + u<0
+    deactivation downdates + GI loop, one launch) must reach the same
+    optimum as a cold solve even on large drifts that force several
+    deactivations in the prologue."""
+    import dataclasses
+
+    from jrlqp_tpu.solver.fast import solve_refined_pallas_carry
+
+    opt = SolverOptions(max_iter=100)
+    B, n, m = 5, 8, 12
+    base = random_qp_batch(jax.random.key(29), B, n, m, act_frac=0.5)
+    res0, carry = solve_refined_pallas_carry(base, None, opt, interpret=True)
+    assert np.all(np.asarray(res0.status) == 0)
+    d = 0.5 * jax.random.normal(jax.random.key(30), (B, m), base.l.dtype)
+    pbs = dataclasses.replace(base, l=base.l + d, u=base.u + d)
+    res_w, _ = solve_refined_pallas_carry(pbs, carry, opt, interpret=True)
+    res_c = solve_refined_pallas(pbs, opt, interpret=True)
+    assert np.all(np.asarray(res_w.status) == 0)
+    np.testing.assert_allclose(np.asarray(res_w.x), np.asarray(res_c.x),
+                               atol=1e-7)
+    resid = jax.vmap(kkt_residual)(res_w.x, res_w.multipliers, pbs)
+    assert float(jnp.max(np.asarray(resid))) <= 1e-8
+
+
 def test_fused_init_detects_non_spd():
     """A non-SPD lane must terminate NON_POS_HESSIAN through the in-kernel
     Cholesky prologue (collapsed-pivot detection, like ops/pallas/block_llt)
