@@ -52,6 +52,17 @@ class StructuredG:
     off: jax.Array  # (nb-1, s, s)
     gtype: int = dataclasses.field(metadata=dict(static=True))
 
+    def __post_init__(self):
+        # a bare string like "tri_block_diagonal" would silently compare
+        # unequal to every GType and fall through to the block-arrow
+        # branches -- reject anything that isn't a valid GType value
+        try:
+            GType(self.gtype)
+        except ValueError:
+            raise ValueError(
+                f"gtype must be a GType value (e.g. "
+                f"GType.TRI_BLOCK_DIAGONAL), got {self.gtype!r}") from None
+
     @property
     def nb(self) -> int:
         return self.diag.shape[-3]

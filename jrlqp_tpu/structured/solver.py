@@ -425,6 +425,15 @@ def solve_structured_fast_carry(
         opt32 = opt.with_(dtype=f32, zero_z_threshold=1e-6)
         state0 = jax.vmap(_init_fast_from_carry)(
             pb32, carry.H, carry.Ns, carry.status, carry.aorder, carry.q)
+        if opt.validate:
+            # the cold path gets this gating inside _init_fast_from_ops;
+            # warm steps must honor opt.validate identically
+            from ..types import INCONSISTENT_INPUT
+            from ..validation import inconsistent_mask
+
+            bad = jax.vmap(inconsistent_mask)(pb32)
+            state0 = _dc.replace(state0, term=jnp.where(
+                bad, INCONSISTENT_INPUT, state0.term).astype(jnp.int32))
         max_iter = jnp.asarray(opt.max_iter, jnp.int32)
 
         def run(pb_i, st):
