@@ -161,6 +161,9 @@ def main():
             with open(path, "w") as fh:  # land partial results immediately
                 json.dump(sorted(merged, key=lambda r: r["name"]), fh,
                           indent=2)
+            import subprocess
+            subprocess.run(["git", "add", path], cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))), check=False)
 
 
 if __name__ == "__main__":

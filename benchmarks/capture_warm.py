@@ -37,7 +37,9 @@ N = int(os.environ.get("WARM_N", "20"))
 M = int(os.environ.get("WARM_M", "40"))
 BATCH = int(os.environ.get("WARM_BATCH", "1024"))
 STEPS = int(os.environ.get("WARM_STEPS", "12"))
-# "resident" (default) = device-resident inputs, one SMALL jitted step
+# "eager" (default) = device-resident inputs, direct calls of the
+# library's own jitted entry points, async step dispatch;
+# "resident" = device-resident inputs, one SMALL jitted step
 # program executed per trajectory step with async dispatch (no per-step
 # device_put -- the observed relay failure point -- and no per-step
 # barrier: executions queue on device, one final transfer);
@@ -51,6 +53,20 @@ MODE = os.environ.get("WARM_MODE", "eager")
 # its remote compiler surfaces scoped-VMEM overflows as bare
 # INVALID_ARGUMENT instead of a compile error
 PACK = int(os.environ.get("WARM_PACK", "16"))
+
+
+def _write_artifact(out):
+    print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "out", "warm_start.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    # stage the evidence in the same run that produced it (round-4 verdict:
+    # three rounds of uncommitted artifacts is a process bug)
+    import subprocess
+    subprocess.run(["git", "add", path], cwd=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), check=False)
+
 
 
 def run_eager(base, drifts, opt):
@@ -116,11 +132,7 @@ def run_eager(base, drifts, opt):
         warm_success=float((sts_w == 0).mean()),
         cold_success=float((sts_c == 0).mean()),
     )
-    print(json.dumps(out))
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "out", "warm_start.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=2)
+    _write_artifact(out)
 
 
 def run_resident(base, drifts, opt):
@@ -189,11 +201,7 @@ def run_resident(base, drifts, opt):
         warm_success=float((sts_w == 0).mean()),
         cold_success=float((sts_c == 0).mean()),
     )
-    print(json.dumps(out))
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "out", "warm_start.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=2)
+    _write_artifact(out)
 
 
 def run_scan(base, drifts, opt):
@@ -255,11 +263,7 @@ def run_scan(base, drifts, opt):
         warm_success=float((sts_w == 0).mean()),
         cold_success=float((sts_c == 0).mean()),
     )
-    print(json.dumps(out))
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "out", "warm_start.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=2)
+    _write_artifact(out)
 
 
 def main():
@@ -351,11 +355,7 @@ def main():
         warm_success=float((sts_w == 0).mean()),
         cold_success=float((sts_c == 0).mean()),
     )
-    print(json.dumps(out))
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "out", "warm_start.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=2)
+    _write_artifact(out)
 
 
 if __name__ == "__main__":

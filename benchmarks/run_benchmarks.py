@@ -181,7 +181,7 @@ def main():
         ent_s = [e for e in MAROS_MESZAROS if e.name in strict]
         ent_g = [e for e in MAROS_MESZAROS if e.name in singular]
         corpus = {}
-        for eng in ("f64", "pallas_rescued"):
+        for eng in ("f64", "pallas_rescued", "refined"):
             rows = run_corpus(qps_dir=vend_dir, entries=ent_s,
                               bucketed=True, engine=eng)
             for r in rows:
@@ -198,12 +198,25 @@ def main():
         corpus["singular_f64"] = rows_g
         n_green = sum(r["green"] for rows in corpus.values() for r in rows)
         n_total = sum(len(rows) for rows in corpus.values())
+        # filter-eligible problems whose data is machine-generated and
+        # unvendorable (external QPS files only, like the reference's own
+        # WITH_QPS_TESTS gating): visible here so a reader can see exactly
+        # what was NOT exercised (ref tests/QPSProblems.h:44-48,110-119)
+        from jrlqp_tpu.io.maros_meszaros import default_subset
+        eligible = {e.name for e in default_subset()}
+        covered = set(strict) | set(singular)
+        corpus["missing"] = sorted(eligible - covered)
         corpus["summary"] = dict(
             problems_vendored=len(strict) + len(singular),
             rows_green=n_green, rows_total=n_total,
+            eligible_under_reference_filter=len(eligible),
+            missing_external_only=len(eligible - covered),
             note=("strict rows: SUCCESS + f* within 1e-6 rel + KKT<=1e-8; "
                   "singular rows (cond>1e8, excluded by the reference's "
-                  "filter): detected NON_POS_HESSIAN or solved to f*"))
+                  "filter): detected NON_POS_HESSIAN or solved to f*; "
+                  "'missing' lists filter-eligible problems with "
+                  "machine-generated data vendorable only as external QPS "
+                  "files (run with QPS_DIR pointing at the collection)"))
         print(json.dumps(corpus["summary"]))
         with open(os.path.join(args.out, "corpus.json"), "w") as fh:
             json.dump(corpus, fh, indent=2)
@@ -217,6 +230,21 @@ def main():
             print(json.dumps(r))
         with open(os.path.join(args.out, "structured_ik.json"), "w") as fh:
             json.dump(rows, fh, indent=2)
+
+    _stage_outputs(args.out)
+
+
+def _stage_outputs(out_dir):
+    """git-add every artifact this run wrote (round-4 verdict #8: evidence
+    must land in the same commit that produces it)."""
+    import glob
+    import subprocess
+
+    files = glob.glob(os.path.join(out_dir, "*.json")) + glob.glob(
+        os.path.join(out_dir, "*.csv"))
+    if files:
+        subprocess.run(["git", "add", *files], cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), check=False)
 
 
 if __name__ == "__main__":

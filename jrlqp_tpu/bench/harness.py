@@ -403,7 +403,7 @@ def bench_box_single(
 
 def bench_decompositions(
     nb: int = 9, s: int = 48, batch: int = 16, seed: int = 0,
-    interpret: bool = False,
+    interpret: bool = False, include_f64: bool = True,
 ) -> list[dict]:
     """Structured vs dense Cholesky timings (ref: benchmarks/Decomposition.cpp
     and the IK timing harness in tests/BlockGISolverTest.in.cpp:251-268).
@@ -439,8 +439,11 @@ def bench_decompositions(
 
     tri = jax.jit(jax.vmap(tri_block_diag_llt))
     arrow = jax.jit(jax.vmap(lambda d, o: block_arrow_llt(d, o)))
-    dense_in = jax.vmap(tri_block_to_dense)(diag, off)
-    dense_in32 = dense_in.astype(jnp.float32)
+    if include_f64:
+        dense_in = jax.vmap(tri_block_to_dense)(diag, off)
+        dense_in32 = dense_in.astype(jnp.float32)
+    else:  # skip the f64 dense assembly (memory: B n^2 doubles)
+        dense_in32 = jax.vmap(tri_block_to_dense)(diag32, off32)
     dense = jax.jit(jax.vmap(jnp.linalg.cholesky))
 
     tri_p = lambda d, o: tri_block_llt_pallas(d, o, interpret=interpret)  # noqa: E731
@@ -456,37 +459,43 @@ def bench_decompositions(
         Ld, Lo, Li = tri_block_llt_pallas(d, o, interpret=interpret)
         return tri_block_solve_pallas(Lo, Li, eye_b, interpret=interpret)
 
-    jax.block_until_ready(tri(diag, off))
-    jax.block_until_ready(arrow(diag, off))
-    jax.block_until_ready(dense(dense_in))
     jax.block_until_ready(dense(dense_in32))
     jax.block_until_ready(tri_p(diag32, off32))
     jax.block_until_ready(arrow_p(diag32, off32))
     jax.block_until_ready(tri_p_full(diag32, off32))
-    t_tri = _timeit(lambda: tri(diag, off))
-    t_arrow = _timeit(lambda: arrow(diag, off))
-    t_dense = _timeit(lambda: dense(dense_in))
     t_dense32 = _timeit(lambda: dense(dense_in32))
     t_tri_p = _timeit(lambda: tri_p(diag32, off32))
     t_arrow_p = _timeit(lambda: arrow_p(diag32, off32))
     t_tri_pf = _timeit(lambda: tri_p_full(diag32, off32))
+    if include_f64:
+        jax.block_until_ready(tri(diag, off))
+        jax.block_until_ready(arrow(diag, off))
+        jax.block_until_ready(dense(dense_in))
+        t_tri = _timeit(lambda: tri(diag, off))
+        t_arrow = _timeit(lambda: arrow(diag, off))
+        t_dense = _timeit(lambda: dense(dense_in))
 
     def row(name, t, t_ref=None):
-        r = dict(name=name, ms=t / batch * 1e3)
+        r = dict(name=f"{name}/batch={batch}", ms=t / batch * 1e3)
         if t_ref is not None:
             r["speedup_vs_dense"] = t_ref / t
         return r
 
-    return [
-        row(f"llt/tri_block/nb={nb}/s={s}", t_tri, t_dense),
-        row(f"llt/block_arrow/nb={nb}/s={s}", t_arrow, t_dense),
-        row(f"llt/dense/n={n}", t_dense),
+    rows = []
+    if include_f64:
+        rows += [
+            row(f"llt/tri_block/nb={nb}/s={s}", t_tri, t_dense),
+            row(f"llt/block_arrow/nb={nb}/s={s}", t_arrow, t_dense),
+            row(f"llt/dense/n={n}", t_dense),
+        ]
+    rows += [
         row(f"llt/dense_f32/n={n}", t_dense32),
         row(f"llt/tri_block_pallas/nb={nb}/s={s}", t_tri_p, t_dense32),
         row(f"llt/block_arrow_pallas/nb={nb}/s={s}", t_arrow_p, t_dense32),
         row(f"llt+inv/tri_block_pallas_fused/nb={nb}/s={s}", t_tri_pf,
             t_dense32),
     ]
+    return rows
 
 
 def bench_structured_ik(
