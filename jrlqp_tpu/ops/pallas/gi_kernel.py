@@ -89,6 +89,18 @@ def _bouter(u_, v):
                                preferred_element_type=jnp.float32)
 
 
+def _vecmat(v, A):
+    """(P, C) @ (P, C, N) -> (P, N): batched vector-matrix product with the
+    contraction over the matrix's SUBLANE dim -- the MXU-native A^T B form
+    (the matrix needs no relayout). The vector gets an explicit singleton
+    non-contracting dim: Mosaic's dot lowering rejects an empty
+    lhs_non_contracting_dims set."""
+    out = jax.lax.dot_general(v[:, None, :], A,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return out[:, 0, :]
+
+
 def _kernel(
     G_ref, C_ref, l_ref, u_ref, xl_ref, xu_ref,
     K0_ref, x0_ref, u0_ref, st0_ref, ao0_ref, sk0_ref, scal0_ref, fs0_ref,
@@ -349,7 +361,7 @@ def _kernel(
 
 
 
-def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
+def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
                     *, n, m, np_, mp_, mtp_, max_iter, P):
     """The packed GI while-loop over P problems' VMEM-resident state.
 
@@ -364,6 +376,20 @@ def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
     price is masked straight-line code (no per-problem lax.cond: stopped
     problems freeze via selects) and running each pack until its slowest
     member finishes.
+
+    Operator layout: K is (P, np_, 2np_) = [H | N*^T] per problem -- H in
+    lanes 0..np_-1, the k-th active row of N* stored as COLUMN np_+k. The
+    lane dim thus carries 2np_ (112 of 128 lanes at n=50) instead of np_
+    (56), halving the vector-register tile count of every K-sized
+    elementwise op (the dominant per-iteration cost). The per-iteration
+    linear algebra keeps its one-op structure in this layout:
+    - directions: [z | r] = n+ @ K in ONE vector-matrix MXU op
+      (z = H n+ by symmetry of H, r_k = N*[k]·n+ via the N*^T columns);
+    - both rank-one updates are K -= u v^T with u a (np_,) row vector and
+      v a (2np_,) lane vector: add u=z, v=[z|r_head]/delta; remove u=n_l*,
+      v=[-n_l*|w_mask]/w_l -- still one fused outer product;
+    - N* row delete becomes a lane roll; the new-row write a lane select.
+    ``Ct`` is C^T (P, np_, mp_) for the same lane-utilization reason.
     """
     f32 = jnp.float32
     i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
@@ -374,8 +400,8 @@ def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
     iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
     iotf_mt = iot_mt.astype(f32)
     iotf_n = iot_n.astype(f32)
-    row3 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, 1), 1)
-    rowC = jax.lax.broadcasted_iota(jnp.int32, (1, mp_, 1), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * np_), 2)
+    laneC = jax.lax.broadcasted_iota(jnp.int32, (1, 1, mp_), 2)
     real_n = iot_n < i32(n)
     real_m = iot_m < i32(m)
 
@@ -402,7 +428,7 @@ def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
         active = (term == i32(RUNNING)) & (it < i32(max_iter))  # (P, 1)
 
         # ---- step 1: most-violated selection (masked by skip1) ----
-        cx = bmv(C, x)                                          # (P, mp_)
+        cx = _vecmat(x, Ct)                                     # (P, mp_)
         sl = cx - lo
         su = up - cx
         act_c = status[:, :mp_] != zero_i
@@ -427,14 +453,15 @@ def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
             (sc_st_n == i32(UPPER)) | (sc_st_n == i32(UPPER_BOUND)),
             f32(-1), f32(1))
         is_bnd = sc_st_n >= i32(LOWER_BOUND)
-        cmask = rowC == jnp.clip(sc_idx_n, zero_i, i32(mp_ - 1))[:, :, None]
-        crow = jnp.sum(jnp.where(cmask, C, f32(0.0)), axis=1)   # (P, np_)
+        cmaskL = laneC == jnp.clip(sc_idx_n, zero_i,
+                                   i32(mp_ - 1))[:, :, None]
+        crow = jnp.sum(jnp.where(cmaskL, Ct, f32(0.0)), axis=2)  # (P, np_)
         e = (iot_n == (sc_idx_n - i32(mp_))).astype(f32)
         nplus_n = jnp.where(do_select, sign * jnp.where(is_bnd, e, crow),
                             nplus)
 
-        # ---- directions: one batched stacked matvec ----
-        zr = bmv(K, nplus_n)                                    # (P, 2np_)
+        # ---- directions: one vector-matrix MXU op (H symmetric) ----
+        zr = _vecmat(nplus_n, K)                                # (P, 2np_)
         z = zr[:, :np_]
         r = zr[:, np_:]
 
@@ -492,10 +519,10 @@ def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
                              term)
 
         # ---- remove-side rank-one vectors ----
-        lmask3 = row3 == (i32(np_) + lpos)[:, :, None]
-        nl = jnp.sum(jnp.where(lmask3, K, f32(0.0)), axis=1)    # (P, np_)
+        lmaskL = lane2 == (i32(np_) + lpos)[:, :, None]
+        nl = jnp.sum(jnp.where(lmaskL, K, f32(0.0)), axis=2)    # (P, np_)
         v = bmv(G, nl)
-        w = bmv(K, v)[:, np_:]
+        w = _vecmat(v, K)[:, np_:]
         wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)), axis=1,
                      keepdims=True)
         wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
@@ -503,23 +530,25 @@ def _packed_iterate(G, C, lo, up, xlo, xup, tr0, init,
 
         # ---- ONE fused rank-one update: both add and remove are
         # K -= uvec vvec^T, so select the vectors per problem and pay a
-        # single (P, 2np_, np_) outer product ----
-        u_upd = jnp.where(add_sel, jnp.concatenate([z, r_head], axis=1),
-                          jnp.concatenate([-nl, wmask], axis=1) / wl_safe)
-        v_upd = jnp.where(add_sel, zn, nl)
+        # single (P, np_, 2np_) outer product ----
+        u_upd = jnp.where(add_sel, z, nl)                       # rows
+        v_upd = jnp.where(
+            add_sel, jnp.concatenate([z, r_head], axis=1) / dsafe,
+            jnp.concatenate([-nl, wmask], axis=1) / wl_safe)    # lanes
         u_upd = jnp.where(adv, u_upd, f32(0.0))  # frozen lanes: no-op
         K_upd = K - bouter(u_upd, v_upd)
-        # add-specific: write the new N* row at slot q
-        qrow = (i32(np_) + q)[:, :, None]
-        K_n = jnp.where(add_sel[:, :, None] & (row3 == qrow),
-                        zn[:, None, :], K_upd)
-        # remove-specific: delete N* row l (shift rows up), zero >= q-1
-        rolled = pltpu.roll(K_upd, i32(2 * np_ - 1), axis=1)
-        lrow = (i32(np_) + lpos)[:, :, None]
+        # add-specific: write the new N* column at slot np_+q
+        qlane = (i32(np_) + q)[:, :, None]
+        K_n = jnp.where(add_sel[:, :, None] & (lane2 == qlane),
+                        zn[:, :, None], K_upd)
+        # remove-specific: delete N* column l (shift lanes left), zero
+        # lanes >= np_+q-1
+        rolled = pltpu.roll(K_upd, i32(2 * np_ - 1), axis=2)
+        llane = (i32(np_) + lpos)[:, :, None]
         rsel3 = rem_sel[:, :, None]
-        K_n = jnp.where(rsel3 & (row3 >= lrow) & (row3 < qrow - one),
+        K_n = jnp.where(rsel3 & (lane2 >= llane) & (lane2 < qlane - one),
                         rolled, K_n)
-        K_n = jnp.where(rsel3 & (row3 >= qrow - one), f32(0.0), K_n)
+        K_n = jnp.where(rsel3 & (lane2 >= qlane - one), f32(0.0), K_n)
 
         # ---- bookkeeping rows (cheap (P, np_)/(P, mtp_) selects) ----
         status_add = jnp.where(iot_mt == sc_idx_n, sc_st_n, status)
@@ -656,17 +685,17 @@ def _kernel_packed_fused(
     x0 = -jax.lax.dot_general(H0, a, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=f32)
     x0 = jnp.where(posdef, x0, f32(0.0))
-    K0 = jnp.concatenate([H0, jnp.zeros((P, np_, np_), f32)], axis=1)
+    K0 = jnp.concatenate([H0, jnp.zeros((P, np_, np_), f32)], axis=2)
 
     # ---- in-kernel equality / fixed-variable auto-activation ----
     iot_n = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
     iot_m = jax.lax.broadcasted_iota(jnp.int32, (1, mp_), 1)
     iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
     iotf_mt = iot_mt.astype(f32)
-    row3 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, 1), 1)
-    rowC = jax.lax.broadcasted_iota(jnp.int32, (1, mp_, 1), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * np_), 2)
+    laneC = jax.lax.broadcasted_iota(jnp.int32, (1, 1, mp_), 2)
     lo, up, xlo, xup = l_ref[0], u_ref[0], xl_ref[0], xu_ref[0]
-    C = C_ref[0]
+    Ct = C_ref[0]
     real_m = iot_m < i32(m)
     real_n = iot_n < i32(n)
     # remaining-equality mask kept as f32 0/1 (bool vector carries /
@@ -700,11 +729,11 @@ def _kernel_packed_fused(
         is_bnd = idx >= i32(mp_)
         st = jnp.where(is_bnd, i32(FIXED), i32(EQUALITY))
         cidx = jnp.clip(idx, i32(0), i32(mp_ - 1))
-        cmask = rowC == cidx[:, :, None]
-        crow = jnp.sum(jnp.where(cmask, C, f32(0.0)), axis=1)   # (P, np_)
+        cmaskL = laneC == cidx[:, :, None]
+        crow = jnp.sum(jnp.where(cmaskL, Ct, f32(0.0)), axis=2)  # (P, np_)
         e = (iot_n == (idx - i32(mp_))).astype(f32)
         nplus = jnp.where(is_bnd, e, crow)                      # sign +1
-        zr = _bmv(K, nplus)
+        zr = _vecmat(nplus, K)
         z = zr[:, :np_]
         r = zr[:, np_:]
         # EQUALITY steps to l, FIXED to xl (ref _selected_bound semantics)
@@ -727,11 +756,12 @@ def _kernel_packed_fused(
         dependent = nz <= dep_thr * nn
         dsafe = jnp.where(dependent, f32(1.0), nz)
         zn = z / dsafe
-        u_upd = jnp.where(act, jnp.concatenate([z, r_head], axis=1),
-                          f32(0.0))
-        K2 = K - _bouter(u_upd, zn)
-        K2 = jnp.where(act[:, :, None] & (row3 == (i32(np_) + q)[:, :, None]),
-                       zn[:, None, :], K2)
+        u_upd = jnp.where(act, z, f32(0.0))
+        K2 = K - _bouter(u_upd,
+                         jnp.concatenate([z, r_head], axis=1) / dsafe)
+        K2 = jnp.where(
+            act[:, :, None] & (lane2 == (i32(np_) + q)[:, :, None]),
+            zn[:, :, None], K2)
         status2 = jnp.where(act & (iot_mt == idx), st, status)
         aorder2 = jnp.where(act & (iot_n == q), idx, aorder)
         statk2 = jnp.where(act & (iot_n == q), st.astype(f32), statk)
@@ -813,17 +843,17 @@ def _kernel_packed_warm(
 
     iot_n = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
     iotf_n = iot_n.astype(f32)
-    row3 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_, 1), 1)
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
-    eye3 = (row3 == col3).astype(f32)               # H-diagonal selector
-    tr0 = jnp.maximum(jnp.sum(jnp.sum(K * eye3, axis=2), axis=1,
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (1, np_, 1), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * np_), 2)
+    eyeH = (row3 == lane2).astype(f32)  # H-diagonal selector (lanes < np_)
+    tr0 = jnp.maximum(jnp.sum(jnp.sum(K * eyeH, axis=2), axis=1,
                               keepdims=True), f32(1e-30))        # (P, 1)
 
     def closed_form(K, b, q):
+        # x = N*^T b_act - H a = K @ [-a; b_act] (contract the 2np_ lanes)
         bf = jnp.concatenate([-a, b], axis=1)       # (P, 2np_)
-        x = jax.lax.dot_general(K, bf, (((1,), (1,)), ((0,), (0,))),
-                                preferred_element_type=f32)
-        u = _bmv(K, a + _bmv(G, x))[:, np_:]
+        x = _bmv(K, bf)
+        u = _vecmat(a + _bmv(G, x), K)[:, np_:]
         return x, jnp.where(iot_n < q, u, f32(0.0))
 
     x, uvec = closed_form(K, b_act, q)
@@ -850,23 +880,23 @@ def _kernel_packed_warm(
         mn, lpos = worst(uv, statk, q)
         act = mn < utol                              # (P, 1)
         act3 = act[:, :, None]
-        lmask3 = row3 == (i32(np_) + lpos)[:, :, None]
-        nl = jnp.sum(jnp.where(lmask3, K, f32(0.0)), axis=1)    # (P, np_)
+        lmaskL = lane2 == (i32(np_) + lpos)[:, :, None]
+        nl = jnp.sum(jnp.where(lmaskL, K, f32(0.0)), axis=2)    # (P, np_)
         v = _bmv(G, nl)
-        w = _bmv(K, v)[:, np_:]
+        w = _vecmat(v, K)[:, np_:]
         wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)), axis=1,
                      keepdims=True)
         wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
         wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, f32(0.0))
-        stack = jnp.concatenate([-nl, wmask], axis=1) / wl_safe
-        stack = jnp.where(act, stack, f32(0.0))
-        K2 = K - _bouter(stack, nl)
-        rolled = pltpu.roll(K2, i32(2 * np_ - 1), axis=1)
-        lrow = (i32(np_) + lpos)[:, :, None]
-        qrow = (i32(np_) + q)[:, :, None]
-        K2 = jnp.where(act3 & (row3 >= lrow) & (row3 < qrow - one),
+        K2 = K - _bouter(
+            jnp.where(act, nl, f32(0.0)),
+            jnp.concatenate([-nl, wmask], axis=1) / wl_safe)
+        rolled = pltpu.roll(K2, i32(2 * np_ - 1), axis=2)
+        llane = (i32(np_) + lpos)[:, :, None]
+        qlane = (i32(np_) + q)[:, :, None]
+        K2 = jnp.where(act3 & (lane2 >= llane) & (lane2 < qlane - one),
                        rolled, K2)
-        K2 = jnp.where(act3 & (row3 >= qrow - one), f32(0.0), K2)
+        K2 = jnp.where(act3 & (lane2 >= qlane - one), f32(0.0), K2)
         rem_idx = jnp.sum(jnp.where(
             iot_n == lpos,
             jnp.clip(aorder, i32(0), i32(mtp_ - 1)).astype(f32), f32(0.0)),
@@ -931,20 +961,22 @@ def _auto_pack(np_: int, mp_: int) -> int:
 
     Empirical model from v5e compile failures: the per-problem scoped
     footprint is ~5x the raw f32 bytes of (G + C + 3K + rows); packs of
-    {16, 8, 4, 2, 1} are tried against a 13MB budget (headroom under the
-    ~16MB/core VMEM of v4/v5e/v5p/v6e). The auto ladder is capped at 16:
-    pack 24/32 rungs are legal per this model at small n, but at least one
-    deployed backend (the remote-relay TPU) rejects them with a bare
-    INVALID_ARGUMENT instead of a Mosaic VMEM error, which the self-heal
-    in solve_refined_pallas also catches -- still, a known-good default
-    beats a heal cycle. Opt into larger packs with ``pack=`` or
-    ``JRLQP_AUTO_PACK_MAX``; adjust the budget with
+    {24, 16, 8, 4, 2, 1} are tried against a 14MB budget (the ~16MB/core
+    scoped VMEM of v4/v5e/v5p/v6e minus headroom; pack 24 measured +3.6%
+    over 16 at n=50 on v5e). The 32 rung stays behind
+    ``JRLQP_AUTO_PACK_MAX``: measured 0.9MB over the scoped limit at
+    n=50, and one deployed backend surfaces such overflows as a bare
+    INVALID_ARGUMENT (which the self-heal in solve_refined_pallas also
+    catches). Adjust with ``pack=``, ``JRLQP_AUTO_PACK_MAX``, or
     ``JRLQP_VMEM_BUDGET_MB``."""
     raw = (np_ * np_ + mp_ * np_ + 3 * (2 * np_ * np_)
            + 8 * np_ + 4 * mp_) * 4
     per_problem = 5 * raw
-    budget = int(os.environ.get("JRLQP_VMEM_BUDGET_MB", "13")) * 2 ** 20
-    cap = int(os.environ.get("JRLQP_AUTO_PACK_MAX", "16"))
+    # 14MB default budget: measured on v5e at n=50, pack 24 compiles
+    # (13.75MB by this model) and pack 32 overflows the 16MB scoped limit
+    # by 0.9MB -- the model tracks the real footprint closely
+    budget = int(os.environ.get("JRLQP_VMEM_BUDGET_MB", "14")) * 2 ** 20
+    cap = int(os.environ.get("JRLQP_AUTO_PACK_MAX", "24"))
     for pack in (32, 24, 16, 8, 4, 2):
         if pack <= cap and pack * per_problem <= budget:
             return pack
@@ -1030,7 +1062,12 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         )
 
     G = pad2(pb32.G, np_, np_)
-    C = pad2(pb32.C, mp_, np_)
+    if pack > 1:
+        # packed kernels take C^T (np_, mp_) and K = [H | Ns^T]
+        # (np_, 2np_) -- the lane-major layouts (_packed_iterate docstring)
+        C_in = pad2(jnp.swapaxes(pb32.C, 1, 2), np_, mp_)
+    else:
+        C_in = pad2(pb32.C, mp_, np_)
     l = padrow(pb32.l, mp_, fill=-BIG * 10)
     u = padrow(pb32.u, mp_, fill=BIG * 10)
     xl = padrow(pb32.xl, np_, fill=-BIG * 10)
@@ -1041,10 +1078,15 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         kpad = jnp.arange(n, np_)
         G = G.at[:, kpad, kpad].set(1.0)
         a_row = padrow(pb32.a, np_)
-        return _run_fused(G, C, l, u, xl, xu, a_row, inv, Borig, B, n, m,
+        return _run_fused(G, C_in, l, u, xl, xu, a_row, inv, Borig, B, n, m,
                           np_, mp_, mtp_, max_iter, pack, interpret)
-    K0 = jnp.concatenate([pad2(state0.H, np_, np_),
-                          pad2(state0.Ns, np_, np_)], axis=1)
+    if pack > 1:
+        K0 = jnp.concatenate(
+            [pad2(state0.H, np_, np_),
+             jnp.swapaxes(pad2(state0.Ns, np_, np_), 1, 2)], axis=2)
+    else:
+        K0 = jnp.concatenate([pad2(state0.H, np_, np_),
+                              pad2(state0.Ns, np_, np_)], axis=1)
     x0 = padrow(state0.x, np_)
     u0 = padrow(state0.u[:, : n + 1], np_)
     st_c = state0.status[:, :m]
@@ -1107,15 +1149,15 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
             kern,
             grid=(BP,),
             in_specs=[
-                spec(P, np_, np_), spec(P, mp_, np_), spec(P, mp_),
+                spec(P, np_, np_), spec(P, np_, mp_), spec(P, mp_),
                 spec(P, mp_), spec(P, np_), spec(P, np_),
-                spec(P, 2 * np_, np_), spec(P, np_), spec(P, np_),
+                spec(P, np_, 2 * np_), spec(P, np_), spec(P, np_),
                 spec(P, mtp_), spec(P, np_), spec(P, np_), spec(P, 8),
                 spec(P, 8),
             ],
             out_specs=[
                 spec(P, np_), spec(P, np_), spec(P, mtp_), spec(P, np_),
-                spec(P, 8), spec(P, 2 * np_, np_), spec(P, 8),
+                spec(P, 8), spec(P, np_, 2 * np_), spec(P, 8),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((BP, P, np_), f32),
@@ -1123,11 +1165,11 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
                 jax.ShapeDtypeStruct((BP, P, mtp_), jnp.int32),
                 jax.ShapeDtypeStruct((BP, P, np_), jnp.int32),
                 jax.ShapeDtypeStruct((BP, P, 8), jnp.int32),
-                jax.ShapeDtypeStruct((BP, P, 2 * np_, np_), f32),
+                jax.ShapeDtypeStruct((BP, P, np_, 2 * np_), f32),
                 jax.ShapeDtypeStruct((BP, P, 8), f32),
             ],
             interpret=interpret,
-        )(fold_m(G), fold_m(C), fold_r(l), fold_r(u), fold_r(xl),
+        )(fold_m(G), fold_m(C_in), fold_r(l), fold_r(u), fold_r(xl),
           fold_r(xu), fold_m(K0), fold_r(x0), fold_r(u0), fold_r(st0),
           fold_r(ao0), fold_r(sk0), fold_r(scal0), fold_r(fscal0))
         # unfold pack dim and drop batch padding
@@ -1136,7 +1178,7 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
         status = status.reshape(B, 1, mtp_)
         aorder = aorder.reshape(B, 1, np_)
         scal = scal.reshape(B, 1, 8)
-        K = K.reshape(B, 2 * np_, np_)
+        K = K.reshape(B, np_, 2 * np_)
         fs = fs.reshape(B, 1, 8)
         x, uvec, status, aorder, scal, K, fs = (
             x[:Borig], uvec[:Borig], status[:Borig], aorder[:Borig],
@@ -1169,7 +1211,7 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
                 jax.ShapeDtypeStruct((B, 1, 8), f32),
             ],
             interpret=interpret,
-        )(G, C, l, u, xl, xu, K0, x0, u0, st0, ao0, sk0, scal0, fscal0)
+        )(G, C_in, l, u, xl, xu, K0, x0, u0, st0, ao0, sk0, scal0, fscal0)
 
     return _postprocess(x, uvec, status, aorder, scal, K, fs, inv,
                         n, m, np_, mp_)
@@ -1189,6 +1231,12 @@ def _postprocess(x, uvec, status, aorder, scal, K, fs, inv, n, m, np_, mp_):
     ao_back = jnp.where(ao_out < 0, -1, ao_back)
     sc_raw = scal[:, 0, 4]
     sc_back = jnp.where(sc_raw >= mp_, sc_raw - mp_ + m, sc_raw)
+    if K.shape[1] == np_:  # packed layout: K = [H | Ns^T] (np_, 2np_)
+        H = K[:, :n, :n]
+        Ns = jnp.swapaxes(K[:, :, np_:], 1, 2)[:, :n, :n]
+    else:                  # single-problem layout: K = [H; Ns] (2np_, np_)
+        H = K[:, :n, :n]
+        Ns = K[:, np_:np_ + n, :n]
     return dict(
         x=x[:, 0, :n],
         u=uvec[:, 0, :n],
@@ -1200,8 +1248,8 @@ def _postprocess(x, uvec, status, aorder, scal, K, fs, inv, n, m, np_, mp_):
         skip1=scal[:, 0, 3],
         sc_idx=sc_back,
         sc_status=scal[:, 0, 5],
-        H=K[:, :n, :n],
-        Ns=K[:, np_:np_ + n, :n],
+        H=H,
+        Ns=Ns,
         hscale=fs[:, 0, 0],
     )
 
@@ -1234,12 +1282,12 @@ def _run_fused(G, C, l, u, xl, xu, a_row, inv, Borig, B, n, m,
         kern,
         grid=(BP,),
         in_specs=[
-            spec(P, np_, np_), spec(P, mp_, np_), spec(P, mp_),
+            spec(P, np_, np_), spec(P, np_, mp_), spec(P, mp_),
             spec(P, mp_), spec(P, np_), spec(P, np_), spec(P, np_),
         ],
         out_specs=[
             spec(P, np_), spec(P, np_), spec(P, mtp_), spec(P, np_),
-            spec(P, 8), spec(P, 2 * np_, np_), spec(P, 8),
+            spec(P, 8), spec(P, np_, 2 * np_), spec(P, 8),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BP, P, np_), f32),
@@ -1247,7 +1295,7 @@ def _run_fused(G, C, l, u, xl, xu, a_row, inv, Borig, B, n, m,
             jax.ShapeDtypeStruct((BP, P, mtp_), jnp.int32),
             jax.ShapeDtypeStruct((BP, P, np_), jnp.int32),
             jax.ShapeDtypeStruct((BP, P, 8), jnp.int32),
-            jax.ShapeDtypeStruct((BP, P, 2 * np_, np_), f32),
+            jax.ShapeDtypeStruct((BP, P, np_, 2 * np_), f32),
             jax.ShapeDtypeStruct((BP, P, 8), f32),
         ],
         interpret=interpret,
@@ -1258,7 +1306,7 @@ def _run_fused(G, C, l, u, xl, xu, a_row, inv, Borig, B, n, m,
     status = status.reshape(B, 1, mtp_)[:Borig]
     aorder = aorder.reshape(B, 1, np_)[:Borig]
     scal = scal.reshape(B, 1, 8)[:Borig]
-    K = K.reshape(B, 2 * np_, np_)[:Borig]
+    K = K.reshape(B, np_, 2 * np_)[:Borig]
     fs = fs.reshape(B, 1, 8)[:Borig]
     return _postprocess(x, uvec, status, aorder, scal, K, fs, inv,
                         n, m, np_, mp_)
@@ -1339,7 +1387,7 @@ def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
         )
 
     G = pad2(arrs["G"], np_, np_)
-    C = pad2(arrs["C"], mp_, np_)
+    C = pad2(jnp.swapaxes(arrs["C"], 1, 2), np_, mp_)  # C^T lane layout
     l = padrow(arrs["l"], mp_, fill=-BIG * 10)
     u = padrow(arrs["u"], mp_, fill=BIG * 10)
     xl = padrow(arrs["xl"], np_, fill=-BIG * 10)
@@ -1348,7 +1396,8 @@ def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
     b0 = padrow(arrs["b_act"], np_)
     sk0 = padrow(arrs["statk"], np_)
     K0 = jnp.concatenate([pad2(arrs["H"], np_, np_),
-                          pad2(arrs["Ns"], np_, np_)], axis=1)
+                          jnp.swapaxes(pad2(arrs["Ns"], np_, np_), 1, 2)],
+                         axis=2)
     st_c = arrs["status"][:, :m]
     st_b = arrs["status"][:, m:]
     st0 = jnp.zeros((B, 1, mtp_), jnp.int32)
@@ -1384,14 +1433,14 @@ def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
         kern,
         grid=(BP,),
         in_specs=[
-            spec(P, np_, np_), spec(P, mp_, np_), spec(P, mp_),
+            spec(P, np_, np_), spec(P, np_, mp_), spec(P, mp_),
             spec(P, mp_), spec(P, np_), spec(P, np_), spec(P, np_),
-            spec(P, 2 * np_, np_), spec(P, mtp_), spec(P, np_),
+            spec(P, np_, 2 * np_), spec(P, mtp_), spec(P, np_),
             spec(P, np_), spec(P, np_), spec(P, 8),
         ],
         out_specs=[
             spec(P, np_), spec(P, np_), spec(P, mtp_), spec(P, np_),
-            spec(P, 8), spec(P, 2 * np_, np_), spec(P, 8),
+            spec(P, 8), spec(P, np_, 2 * np_), spec(P, 8),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BP, P, np_), f32),
@@ -1399,7 +1448,7 @@ def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
             jax.ShapeDtypeStruct((BP, P, mtp_), jnp.int32),
             jax.ShapeDtypeStruct((BP, P, np_), jnp.int32),
             jax.ShapeDtypeStruct((BP, P, 8), jnp.int32),
-            jax.ShapeDtypeStruct((BP, P, 2 * np_, np_), f32),
+            jax.ShapeDtypeStruct((BP, P, np_, 2 * np_), f32),
             jax.ShapeDtypeStruct((BP, P, 8), f32),
         ],
         interpret=interpret,
@@ -1411,7 +1460,7 @@ def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
     status_o = status_o.reshape(B, 1, mtp_)[:B0]
     aorder_o = aorder_o.reshape(B, 1, np_)[:B0]
     scal = scal.reshape(B, 1, 8)[:B0]
-    K = K.reshape(B, 2 * np_, np_)[:B0]
+    K = K.reshape(B, np_, 2 * np_)[:B0]
     fs = fs.reshape(B, 1, 8)[:B0]
     return _postprocess(x, uvec, status_o, aorder_o, scal, K, fs, None,
                         n, m, np_, mp_)
