@@ -83,10 +83,10 @@ def _bmv(A, v):
 
 
 def _bouter(u_, v):
-    """(P, R) x (P, C) -> (P, R, C) batched outer product."""
-    return jax.lax.dot_general(u_[:, :, None], v[:, None, :],
-                               (((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32)
+    """(P, R) x (P, C) -> (P, R, C) batched outer product as a broadcast
+    multiply (VPU): a K=1 dot_general would burn full MXU passes per
+    problem for a rank-one result."""
+    return u_[:, :, None] * v[:, None, :]
 
 
 def _vecmat(v, A):
@@ -1100,14 +1100,11 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     ao_remap = jnp.where(ao < 0, -1, ao_remap)
     ao0 = jnp.full((B, 1, np_), -1, jnp.int32).at[:, 0, :n].set(ao_remap)
     # per-slot activation status (f32) of the initially-active constraints
+    # (one-hot contraction, not take_along_axis: TPU gather is ~100x slower)
     k = jnp.arange(n)
     valid0 = k[None, :] < state0.q[:, None]
-    statk_n = jnp.where(
-        valid0,
-        jnp.take_along_axis(
-            state0.status, jnp.clip(ao, 0, m + n - 1), axis=1),
-        0,
-    ).astype(f32)
+    oh0 = jax.nn.one_hot(jnp.where(valid0, ao, -1), m + n, dtype=f32)
+    statk_n = jnp.einsum("bkj,bj->bk", oh0, state0.status.astype(f32))
     sk0 = jnp.zeros((B, 1, np_), f32).at[:, 0, :n].set(statk_n)
     sc_idx0 = jnp.where(state0.sc_idx >= m, state0.sc_idx - m + mp_,
                         state0.sc_idx)
@@ -1330,8 +1327,7 @@ def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
     resolved pack is 1 (the warm kernel is packed-only; the caller falls
     back to the XLA carry-init + standard kernel).
     """
-    from ...types import LOWER_BOUND as _LB, UPPER as _UP, \
-        UPPER_BOUND as _UB
+    from ...types import UPPER as _UP, UPPER_BOUND as _UB
 
     if pack is None:
         key = (_round_up(pb32.a.shape[1] + 1, 8),
@@ -1345,23 +1341,24 @@ def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
     # ---- b_act: per-slot signed active bounds from the NEW problem ----
     # (sign convention of warm_start._active_normals_and_bounds: LOWER /
     # EQUALITY -> l, UPPER -> -u, LOWER_BOUND/FIXED -> xl,
-    # UPPER_BOUND -> -xu; zero beyond q)
+    # UPPER_BOUND -> -xu; zero beyond q). Gathers go through a one-hot
+    # contraction: XLA's native gather lowering is ~100x slower on TPU
+    # (see fast._refine_batch) and this runs on EVERY warm trajectory step.
+    f32_ = jnp.float32
     k = jnp.arange(n)
     valid = k[None, :] < q[:, None]
     idxs = jnp.where(valid, aorder, 0)
-    sts = jnp.take_along_axis(status, jnp.clip(idxs, 0, m + n - 1), axis=1)
-    if m > 0:
-        ci = jnp.clip(idxs, 0, m - 1)
-        b_gen = jnp.where(sts == _UP,
-                          -jnp.take_along_axis(pb32.u, ci, axis=1),
-                          jnp.take_along_axis(pb32.l, ci, axis=1))
-    else:
-        b_gen = jnp.zeros_like(pb32.a)
-    bi = jnp.clip(idxs - m, 0, n - 1)
-    b_bnd = jnp.where(sts == _UB,
-                      -jnp.take_along_axis(pb32.xu, bi, axis=1),
-                      jnp.take_along_axis(pb32.xl, bi, axis=1))
-    b_act = jnp.where(valid, jnp.where(sts >= _LB, b_bnd, b_gen), 0.0)
+    oh = jax.nn.one_hot(jnp.where(valid, idxs, -1), m + n, dtype=f32_)
+    sts = jnp.einsum("bkj,bj->bk", oh,
+                     status.astype(f32_)).astype(jnp.int32)
+    clamp = lambda v: jnp.clip(jnp.nan_to_num(  # noqa: E731
+        v.astype(f32_), posinf=1e30, neginf=-1e30), -1e30, 1e30)
+    lo_all = clamp(jnp.concatenate([pb32.l, pb32.xl], axis=1))
+    up_all = clamp(jnp.concatenate([pb32.u, pb32.xu], axis=1))
+    b_lo = jnp.einsum("bkj,bj->bk", oh, lo_all)
+    b_up = jnp.einsum("bkj,bj->bk", oh, up_all)
+    upperish = (sts == _UP) | (sts == _UB)
+    b_act = jnp.where(valid, jnp.where(upperish, -b_up, b_lo), 0.0)
     statk = jnp.where(valid, sts, 0).astype(jnp.float32)
 
     # ---- pad batch to a pack multiple ----
