@@ -37,7 +37,10 @@ N = int(os.environ.get("WARM_N", "20"))
 M = int(os.environ.get("WARM_M", "40"))
 BATCH = int(os.environ.get("WARM_BATCH", "1024"))
 STEPS = int(os.environ.get("WARM_STEPS", "12"))
-# "eager" (default) = device-resident inputs, direct calls of the
+# "diff" (default) = marginal-step differencing (see run_diff) -- the
+# only methodology the relayed backend's once-only execution of
+# carry-bearing executables permits;
+# "eager" = device-resident inputs, direct calls of the
 # library's own jitted entry points, async step dispatch;
 # "resident" = device-resident inputs, one SMALL jitted step
 # program executed per trajectory step with async dispatch (no per-step
@@ -47,7 +50,7 @@ STEPS = int(os.environ.get("WARM_STEPS", "12"))
 # unrolled steps (the relay rejects both scan ops and very large
 # executables, kept for locally-attached TPUs);
 # "step" = legacy host-driven control loop
-MODE = os.environ.get("WARM_MODE", "eager")
+MODE = os.environ.get("WARM_MODE", "diff")
 # pack pinned to the hardware-proven size: the auto ladder's pack=32 rung
 # (legal by the VMEM model at n=20) is rejected by the relayed backend --
 # its remote compiler surfaces scoped-VMEM overflows as bare
@@ -67,6 +70,109 @@ def _write_artifact(out):
     subprocess.run(["git", "add", path], cwd=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), check=False)
 
+
+
+def run_diff(base, drifts, opt):
+    """Marginal-step differencing capture -- the relay-proof methodology.
+
+    The relayed backend executes a carry-bearing executable exactly ONCE
+    (the second execution of the same loaded program fails with a bare
+    INVALID_ARGUMENT, even with identical input buffers -- measured this
+    round; round 4 hit the same wall). So: build ONE jitted program
+    containing the cold solve plus k statically-unrolled trajectory steps,
+    for k in {1, K}; execute each program once; the difference
+    (t_K - t_1) / (K - 1) is the steady-state per-step cost with the relay
+    round trip, program load, cold solve, and warmup all cancelling in the
+    subtraction. Same arithmetic for the warm (carry) and cold
+    (re-initialize) trajectories => directly comparable us/solve.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k", "warm", "mi"))
+    def chain(b, dr, k, warm, mi):
+        o = opt.with_(max_iter=mi)
+        pb0 = dataclasses.replace(b, l=b.l + dr[0], u=b.u + dr[0])
+        res0, carry = solve_refined_pallas_carry(pb0, None, o, pack=PACK)
+        its, sts = [], []
+        for s in range(1, k + 1):
+            pbs = dataclasses.replace(b, l=b.l + dr[s], u=b.u + dr[s])
+            if warm:
+                res, carry = solve_refined_pallas_carry(pbs, carry, o,
+                                                        pack=PACK)
+            else:
+                res = solve_refined_pallas(pbs, o, pack=PACK)
+            its.append(res.iterations)
+            sts.append(res.status)
+        return res0.iterations, jnp.stack(its), jnp.stack(sts)
+
+    k_lo, k_hi = 1, STEPS - 1
+    base_d = jax.tree.map(jnp.asarray, base)
+    dr = jnp.asarray(drifts)
+
+    def once(k, warm, mi):
+        for attempt in range(6):
+            try:
+                # the call traces+compiles synchronously (persistent cache
+                # keeps that fast on retries) then ENQUEUES asynchronously;
+                # the clock starts after dispatch returns, so dt = device
+                # execution + one transfer RT -- the RT cancels in the
+                # k_hi - k_lo subtraction
+                it0, its, sts = chain(base_d, dr, k=k, warm=warm, mi=mi)
+                t0 = time.perf_counter()
+                its_h = np.asarray(its)          # barrier
+                dt = time.perf_counter() - t0
+                return its_h, np.asarray(sts), dt
+            except jax.errors.JaxRuntimeError as e:
+                print(f"# chain(k={k},warm={warm}) attempt {attempt}: "
+                      f"{str(e)[:300]}", file=sys.stderr)
+                if attempt == 5:
+                    raise
+                jax.clear_caches()
+                time.sleep(3.0 * (attempt + 1))
+
+    # session warmup: the process's first few executions carry ~1s of
+    # one-time backend cost (measured); burn it on throwaway identities
+    once(k_lo, False, opt.max_iter + 7)
+    once(k_lo, True, opt.max_iter + 7)
+
+    # min over two program identities per point (max_iter bump = distinct
+    # executable; semantically inert, both converge far below the cap)
+    rows = {}
+    for warm in (True, False):
+        t1 = np.inf
+        tK = np.inf
+        for mi in (opt.max_iter, opt.max_iter + 1):
+            its1, sts1, t1m = once(k_lo, warm, mi)
+            itsK, stsK, tKm = once(k_hi, warm, mi)
+            t1 = min(t1, t1m)
+            tK = min(tK, tKm)
+        us = (tK - t1) / ((k_hi - k_lo) * BATCH) * 1e6
+        rows[warm] = dict(us=us, its=itsK, sts=stsK, t1=t1, tK=tK)
+        print(f"# warm={warm}: t(k={k_lo})={t1:.3f}s t(k={k_hi})={tK:.3f}s "
+              f"-> {us:.2f} us/solve", file=sys.stderr)
+
+    out = dict(
+        name=f"warm_start_trajectory/pallas/n={N}/m={M}/steps={STEPS}",
+        batch=BATCH,
+        steps=STEPS,
+        mode=(f"marginal-step differencing: one program = cold + k unrolled "
+              f"steps, k in {{{k_lo}, {k_hi}}}, each executed once (the "
+              f"relay allows exactly one execution per carry-bearing "
+              f"executable); us/solve = (t_{k_hi} - t_{k_lo}) / "
+              f"({k_hi - k_lo} * batch) -- relay RT, load, cold solve and "
+              f"compile cancel in the subtraction"),
+        warm_mean_it=float(rows[True]["its"].mean()),
+        cold_mean_it=float(rows[False]["its"].mean()),
+        warm_us_per_solve=rows[True]["us"],
+        cold_us_per_solve=rows[False]["us"],
+        warm_speedup=rows[False]["us"] / rows[True]["us"],
+        warm_success=float((rows[True]["sts"] == 0).mean()),
+        cold_success=float((rows[False]["sts"] == 0).mean()),
+        raw=dict(
+            warm_t1_s=rows[True]["t1"], warm_tK_s=rows[True]["tK"],
+            cold_t1_s=rows[False]["t1"], cold_tK_s=rows[False]["tK"]),
+    )
+    _write_artifact(out)
 
 
 def run_eager(base, drifts, opt):
@@ -279,6 +385,9 @@ def main():
     assert STEPS >= 3, "need >=1 warmup step and >=2 timed steps"
     min_timed = min(3, STEPS - 2)
 
+    if MODE == "diff":
+        run_diff(base, drifts, opt)
+        return
     if MODE == "eager":
         run_eager(base, drifts, opt)
         return
