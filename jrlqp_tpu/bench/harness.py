@@ -345,7 +345,9 @@ def bench_scaling(
         pbs = random_qp_batch(jax.random.key(seed), batch, n, m,
                               act_frac=0.3)
         run = lambda: solve_sharded(pbs, SolverOptions(max_iter=150),  # noqa: E731
-                                    mesh=mesh, engine=engine)
+                                    mesh=mesh, engine=engine,
+                                    fused_init=(engine == "pallas"
+                                                and platform == "tpu"))
         res, stats = run()
         _sync(stats)
         wall = _timeit(lambda: run())
