@@ -461,23 +461,30 @@ def bench_decompositions(
         Ld, Lo, Li = tri_block_llt_pallas(d, o, interpret=interpret)
         return tri_block_solve_pallas(Lo, Li, eye_b, interpret=interpret)
 
-    jax.block_until_ready(dense(dense_in32))
-    jax.block_until_ready(tri_p(diag32, off32))
-    jax.block_until_ready(arrow_p(diag32, off32))
-    jax.block_until_ready(tri_p_full(diag32, off32))
-    t_dense32 = _timeit(lambda: dense(dense_in32))
-    t_tri_p = _timeit(lambda: tri_p(diag32, off32))
-    t_arrow_p = _timeit(lambda: arrow_p(diag32, off32))
-    t_tri_pf = _timeit(lambda: tri_p_full(diag32, off32))
+    def _try_time(fn):
+        # one failing variant (e.g. the fused identity solve's VMEM
+        # footprint at long horizons) must not lose the whole config
+        try:
+            jax.block_until_ready(fn())
+            return _timeit(fn)
+        except Exception as e:  # noqa: BLE001
+            import sys
+            print(f"# decomposition variant lost: {str(e)[:120]}",
+                  file=sys.stderr)
+            return None
+
+    t_dense32 = _try_time(lambda: dense(dense_in32))
+    t_tri_p = _try_time(lambda: tri_p(diag32, off32))
+    t_arrow_p = _try_time(lambda: arrow_p(diag32, off32))
+    t_tri_pf = _try_time(lambda: tri_p_full(diag32, off32))
     if include_f64:
-        jax.block_until_ready(tri(diag, off))
-        jax.block_until_ready(arrow(diag, off))
-        jax.block_until_ready(dense(dense_in))
-        t_tri = _timeit(lambda: tri(diag, off))
-        t_arrow = _timeit(lambda: arrow(diag, off))
-        t_dense = _timeit(lambda: dense(dense_in))
+        t_tri = _try_time(lambda: tri(diag, off))
+        t_arrow = _try_time(lambda: arrow(diag, off))
+        t_dense = _try_time(lambda: dense(dense_in))
 
     def row(name, t, t_ref=None):
+        if t is None:
+            return None
         r = dict(name=f"{name}/batch={batch}", ms=t / batch * 1e3)
         if t_ref is not None:
             r["speedup_vs_dense"] = t_ref / t
@@ -497,7 +504,7 @@ def bench_decompositions(
         row(f"llt+inv/tri_block_pallas_fused/nb={nb}/s={s}", t_tri_pf,
             t_dense32),
     ]
-    return rows
+    return [r for r in rows if r is not None]
 
 
 def bench_structured_ik(
