@@ -125,7 +125,11 @@ def time_batch(
     elif solver == "pallas":
         from ..solver.fast import solve_refined_pallas
 
-        run = jax.jit(lambda p: solve_refined_pallas(p, opt))
+        # direct call of the internally-jitted entry: an outer wrapper jit
+        # produces an executable the relayed backend rejects with a bare
+        # INVALID_ARGUMENT (same quirk as benchmarks/capture_warm.py), and
+        # it would also bypass the pack self-heal
+        run = lambda p: solve_refined_pallas(p, opt)  # noqa: E731
     elif solver == "pallas_rescued":
         from ..solver.fast import solve_refined_pallas_rescued
 
