@@ -51,10 +51,10 @@ STEPS = int(os.environ.get("WARM_STEPS", "12"))
 # executables, kept for locally-attached TPUs);
 # "step" = legacy host-driven control loop
 MODE = os.environ.get("WARM_MODE", "diff")
-# pack pinned to the hardware-proven size: the auto ladder's pack=32 rung
-# (legal by the VMEM model at n=20) is rejected by the relayed backend --
-# its remote compiler surfaces scoped-VMEM overflows as bare
-# INVALID_ARGUMENT instead of a compile error
+# pack pinned to a hardware-proven size (the auto ladder caps at 24 now,
+# but a known-good fixed pack keeps every capture run comparable; the
+# backend surfaces oversize packs as bare INVALID_ARGUMENT, which the
+# library self-heal also catches)
 PACK = int(os.environ.get("WARM_PACK", "16"))
 
 
