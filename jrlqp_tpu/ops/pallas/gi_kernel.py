@@ -387,9 +387,19 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
       (z = H n+ by symmetry of H, r_k = N*[k]·n+ via the N*^T columns);
     - both rank-one updates are K -= u v^T with u a (np_,) row vector and
       v a (2np_,) lane vector: add u=z, v=[z|r_head]/delta; remove u=n_l*,
-      v=[-n_l*|w_mask]/w_l -- still one fused outer product;
-    - N* row delete becomes a lane roll; the new-row write a lane select.
+      v=[-n_l*|w_mask]/w_l -- still one fused outer product.
     ``Ct`` is C^T (P, np_, mp_) for the same lane-utilization reason.
+
+    Active-set slots use a HOLE-BASED free list instead of the reference's
+    compact activation order (ref ActiveSet erases by position and shifts,
+    src/internal/ActiveSet.cpp:132-168): a slot is active iff its carried
+    per-slot status ``statk`` is nonzero; an add writes the first free
+    slot (tracked per candidate in ``sc_slot``); a removal just ZEROES the
+    slot's N* column, statk, aorder and multiplier. This deletes the
+    remove path's K-sized lane roll plus two K-sized selects and three
+    row rolls per iteration (one extra roll+select pair measured ~20% of
+    wall at n=50). Kernel outputs may therefore carry holes; downstream
+    consumers mask validity with ``aorder >= 0`` rather than ``k < q``.
     """
     f32 = jnp.float32
     i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
@@ -423,8 +433,9 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
 
     def body(carry):
         (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
-         sc_idx, sc_st) = carry
+         sc_idx, sc_st, sc_slot) = carry
         active = (term == i32(RUNNING)) & (it < i32(max_iter))  # (P, 1)
+        valid = statk != f32(0.0)                # (P, np_) active slots
 
         # ---- step 1: most-violated selection (masked by skip1) ----
         cx = _vecmat(x, Ct)                                     # (P, mp_)
@@ -448,6 +459,10 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
         success = do_select & (viol >= f32(0.0))
         sc_idx_n = jnp.where(do_select, p, sc_idx)
         sc_st_n = jnp.where(do_select, sel_st, sc_st)
+        # candidate slot: first FREE slot, pinned for the candidate's
+        # lifetime (its multiplier accumulates there across partial steps)
+        _, free_f = rowmin(jnp.where(valid, f32(BIG), iotf_n), iotf_n)
+        sc_slot_n = jnp.where(do_select, free_f, sc_slot)
         sign = jnp.where(
             (sc_st_n == i32(UPPER)) | (sc_st_n == i32(UPPER_BOUND)),
             f32(-1), f32(1))
@@ -467,7 +482,7 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
         r = zr[:, np_:]
 
         # ---- step lengths ----
-        eligible = ((iot_n < q) & (statk != f32(EQUALITY))
+        eligible = (valid & (statk != f32(EQUALITY))
                     & (statk != f32(FIXED)) & (r > f32(0.0)))
         r_safe = jnp.where(eligible, r, f32(1.0))
         tks = jnp.where(eligible, uvec / r_safe, f32(BIG))
@@ -501,9 +516,10 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
         # contain inf on stopping lanes (their results are discarded)
         t_safe = jnp.where(infeasible | success, f32(0.0), t)
 
-        r_head = jnp.where(iot_n < q, r, f32(0.0))
+        r_head = jnp.where(valid, r, f32(0.0))
         u_stepped = uvec - t_safe * r_head
-        u_stepped = jnp.where(iot_n == q, u_stepped + t_safe, u_stepped)
+        u_stepped = jnp.where(iot_n == sc_slot_n, u_stepped + t_safe,
+                              u_stepped)
         x_new = jnp.where(~dual_step, x + t_safe * z, x)
 
         # ---- per-problem step kind ----
@@ -529,7 +545,7 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
         wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)), axis=1,
                      keepdims=True)
         wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
-        wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, f32(0.0))
+        wmask = jnp.where(valid & (iot_n != lpos), w, f32(0.0))
 
         # ---- ONE fused rank-one update: both add and remove are
         # K -= uvec vvec^T, so select the vectors per problem and pay a
@@ -540,38 +556,39 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
             jnp.concatenate([-nl, wmask], axis=1) / wl_safe)    # lanes
         u_upd = jnp.where(adv, u_upd, f32(0.0))  # frozen lanes: no-op
         K_upd = K - bouter(u_upd, v_upd)
-        # add-specific: write the new N* column at slot np_+q
-        qlane = (i32(np_) + q)[:, :, None]
-        K_n = jnp.where(add_sel[:, :, None] & (lane2 == qlane),
-                        zn[:, :, None], K_upd)
-        # remove-specific: delete N* column l (shift lanes left), zero
-        # lanes >= np_+q-1
-        rolled = pltpu.roll(K_upd, i32(2 * np_ - 1), axis=2)
+        # add: write the new N* column at the candidate slot;
+        # remove: just ZERO the freed slot's N* column (hole-based slots)
+        flane = (i32(np_) + sc_slot_n)[:, :, None]
         llane = (i32(np_) + lpos)[:, :, None]
-        rsel3 = rem_sel[:, :, None]
-        K_n = jnp.where(rsel3 & (lane2 >= llane) & (lane2 < qlane - one),
-                        rolled, K_n)
-        K_n = jnp.where(rsel3 & (lane2 >= qlane - one), f32(0.0), K_n)
+        K_n = jnp.where(add_sel[:, :, None] & (lane2 == flane),
+                        zn[:, :, None], K_upd)
+        K_n = jnp.where(rem_sel[:, :, None] & (lane2 == llane),
+                        f32(0.0), K_n)
 
         # ---- bookkeeping rows (cheap (P, np_)/(P, mtp_) selects) ----
         status_add = jnp.where(iot_mt == sc_idx_n, sc_st_n, status)
-        aorder_add = jnp.where(iot_n == q, sc_idx_n, aorder)
-        statk_add = jnp.where(iot_n == q, sc_st_n.astype(f32), statk)
+        aorder_add = jnp.where(iot_n == sc_slot_n, sc_idx_n, aorder)
+        statk_add = jnp.where(iot_n == sc_slot_n, sc_st_n.astype(f32),
+                              statk)
         rem_idx = jnp.sum(jnp.where(
             iot_n == lpos,
             jnp.clip(aorder, zero_i, i32(mtp_ - 1)).astype(f32), f32(0.0)),
             axis=1, keepdims=True).astype(jnp.int32)
         status_rem = jnp.where(iot_mt == rem_idx, zero_i, status)
-        shift = (iot_n >= lpos) & (iot_n < q - one)
-        aorder_rem = jnp.where(shift, pltpu.roll(aorder, i32(np_ - 1),
-                                                 axis=1), aorder)
-        aorder_rem = jnp.where(iot_n >= q - one, neg1, aorder_rem)
-        statk_rem = jnp.where(shift, pltpu.roll(statk, i32(np_ - 1),
-                                                axis=1), statk)
-        statk_rem = jnp.where(iot_n >= q - one, f32(0.0), statk_rem)
-        u_roll = pltpu.roll(u_stepped, i32(np_ - 1), axis=1)
-        u_rem = jnp.where((iot_n >= lpos) & (iot_n < q), u_roll, u_stepped)
-        u_rem = jnp.where(iot_n >= q, f32(0.0), u_rem)
+        aorder_rem = jnp.where(iot_n == lpos, neg1, aorder)
+        statk_rem = jnp.where(iot_n == lpos, f32(0.0), statk)
+        # relocate the pending candidate's accumulated multiplier into the
+        # freed slot and re-pin it there: at q == n the candidate
+        # provisionally sits in a PADDED slot (no real slot free), and the
+        # dual-step removal that must follow brings it back inside the
+        # real slot range -- the compact layout achieved this implicitly
+        # with its u shift (an add can only fire with t2 finite, which the
+        # zero-z test forbids at q == n, so actives never land in padding)
+        cand_val = jnp.sum(jnp.where(iot_n == sc_slot_n, u_stepped,
+                                     f32(0.0)), axis=1, keepdims=True)
+        u_rem = jnp.where(iot_n == lpos, cand_val,
+                          jnp.where(iot_n == sc_slot_n, f32(0.0),
+                                    u_stepped))
 
         def sel2(a, b, c):
             return jnp.where(add_sel, a, jnp.where(rem_sel, b, c))
@@ -591,8 +608,11 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
         skip1_n = jnp.where(adv, jnp.where(full_step, zero_i, one), skip1)
         sc_idx_keep = jnp.where(active, sc_idx_n, sc_idx)
         sc_st_keep = jnp.where(active, sc_st_n, sc_st)
+        sc_slot_res = jnp.where(rem_sel, lpos, sc_slot_n)
+        sc_slot_keep = jnp.where(active, sc_slot_res, sc_slot)
         return (x_n, K_n, u_n, status_n, aorder_n, statk_n, nplus_keep,
-                q_n, it_n, term_n, skip1_n, sc_idx_keep, sc_st_keep)
+                q_n, it_n, term_n, skip1_n, sc_idx_keep, sc_st_keep,
+                sc_slot_keep)
 
     def cond(carry):
         it = carry[8]
@@ -620,18 +640,21 @@ def _kernel_packed(
         fs0_ref[0], f32(0.0)), axis=1, keepdims=True),
         f32(1e-30))                                             # (P, 1)
     scal0 = scal0_ref[0]  # (P, 8) int32
+    # sc_slot starts at q: inputs are compact (slots 0..q-1 active), so the
+    # first free slot is q -- also correct for a resumed mid-solve state
+    # whose pending candidate accumulates at slot q
     init = (
         x0_ref[0], K0_ref[0], u0_ref[0], st0_ref[0], ao0_ref[0],
         sk0_ref[0], jnp.zeros((P, np_), f32),
         scal0[:, 0:1], scal0[:, 1:2], scal0[:, 2:3], scal0[:, 3:4],
-        scal0[:, 4:5], scal0[:, 5:6],
+        scal0[:, 4:5], scal0[:, 5:6], scal0[:, 6:7],
     )
     out = _packed_iterate(
         G_ref[0], C_ref[0], l_ref[0], u_ref[0], xl_ref[0], xu_ref[0],
         tr0, init, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
         max_iter=max_iter, P=P)
     (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
-     sc_idx, sc_st) = out
+     sc_idx, sc_st, sc_slot) = out
     term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
                      term).astype(jnp.int32)
 
@@ -643,7 +666,7 @@ def _kernel_packed(
     fs_out[0] = fs0_ref[0]  # carry tr0 forward for resumed runs
     zero = jnp.zeros((P, 1), jnp.int32)
     scal_out[0] = jnp.concatenate(
-        [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
+        [q, it, term, skip1, sc_idx, sc_st, sc_slot, zero], axis=1)
 
 
 def _kernel_packed_fused(
@@ -783,14 +806,14 @@ def _kernel_packed_fused(
 
     init = (
         x0, K0, u0, status0, aorder0, statk0, jnp.zeros((P, np_), f32),
-        q0, zc, term0, zc, zc - 1, zc,
+        q0, zc, term0, zc, zc - 1, zc, q0,
     )
     out = _packed_iterate(
         G, C_ref[0], l_ref[0], u_ref[0], xl_ref[0], xu_ref[0],
         tr0, init, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
         max_iter=max_iter, P=P)
     (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
-     sc_idx, sc_st) = out
+     sc_idx, sc_st, sc_slot) = out
     term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
                      term).astype(jnp.int32)
 
@@ -803,7 +826,7 @@ def _kernel_packed_fused(
         jnp.int32, (P, 8), 1) == 0).astype(f32)
     zero = jnp.zeros((P, 1), jnp.int32)
     scal_out[0] = jnp.concatenate(
-        [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
+        [q, it, term, skip1, sc_idx, sc_st, sc_slot, zero], axis=1)
 
 
 def _kernel_packed_warm(
@@ -850,20 +873,21 @@ def _kernel_packed_warm(
     tr0 = jnp.maximum(jnp.sum(jnp.sum(K * eyeH, axis=2), axis=1,
                               keepdims=True), f32(1e-30))        # (P, 1)
 
-    def closed_form(K, b, q):
+    def closed_form(K, b, statk):
         # x = N*^T b_act - H a = K @ [-a; b_act] (contract the 2np_ lanes)
         bf = jnp.concatenate([-a, b], axis=1)       # (P, 2np_)
         x = _bmv(K, bf)
         u = _vecmat(a + _bmv(G, x), K)[:, np_:]
-        return x, jnp.where(iot_n < q, u, f32(0.0))
+        return x, jnp.where(statk != f32(0.0), u, f32(0.0))
 
-    x, uvec = closed_form(K, b_act, q)
+    x, uvec = closed_form(K, b_act, statk)
 
-    # ---- u < 0 deactivation downdates (one slot at a time per lane) ----
+    # ---- u < 0 deactivation downdates (one slot at a time per lane;
+    # hole-based slots: a removal zeroes the slot, no shifts) ----
     utol = f32(-1e-5)
 
-    def worst(uv, statk, q):
-        elig = ((iot_n < q) & (statk != f32(EQUALITY))
+    def worst(uv, statk):
+        elig = ((statk != f32(0.0)) & (statk != f32(EQUALITY))
                 & (statk != f32(FIXED)))
         vals = jnp.where(elig, uv, f32(0.0))
         mn = jnp.min(vals, axis=1, keepdims=True)
@@ -872,15 +896,14 @@ def _kernel_packed_warm(
         return mn, lpos
 
     def d_cond(c):
-        uv, statk, q = c[1], c[4], c[6]
-        mn, _ = worst(uv, statk, q)
+        uv, statk = c[1], c[4]
+        mn, _ = worst(uv, statk)
         return jnp.max(jnp.where(mn < utol, f32(1.0), f32(0.0))) > f32(0.0)
 
     def d_body(c):
         K, uv, status, aorder, statk, b, q, x, it = c
-        mn, lpos = worst(uv, statk, q)
+        mn, lpos = worst(uv, statk)
         act = mn < utol                              # (P, 1)
-        act3 = act[:, :, None]
         oh_l = (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_), 1)
                 == (i32(np_) + lpos)).astype(f32)
         nl = _bmv(K, oh_l)                                      # (P, np_)
@@ -889,33 +912,24 @@ def _kernel_packed_warm(
         wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)), axis=1,
                      keepdims=True)
         wl_safe = jnp.where(jnp.abs(wl) > f32(0.0), wl, f32(1.0))
-        wmask = jnp.where((iot_n < q) & (iot_n != lpos), w, f32(0.0))
+        wmask = jnp.where((statk != f32(0.0)) & (iot_n != lpos), w,
+                          f32(0.0))
         K2 = K - _bouter(
             jnp.where(act, nl, f32(0.0)),
             jnp.concatenate([-nl, wmask], axis=1) / wl_safe)
-        rolled = pltpu.roll(K2, i32(2 * np_ - 1), axis=2)
         llane = (i32(np_) + lpos)[:, :, None]
-        qlane = (i32(np_) + q)[:, :, None]
-        K2 = jnp.where(act3 & (lane2 >= llane) & (lane2 < qlane - one),
-                       rolled, K2)
-        K2 = jnp.where(act3 & (lane2 >= qlane - one), f32(0.0), K2)
+        K2 = jnp.where(act[:, :, None] & (lane2 == llane), f32(0.0), K2)
         rem_idx = jnp.sum(jnp.where(
             iot_n == lpos,
             jnp.clip(aorder, i32(0), i32(mtp_ - 1)).astype(f32), f32(0.0)),
             axis=1, keepdims=True).astype(jnp.int32)
         iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
         status2 = jnp.where(act & (iot_mt == rem_idx), i32(0), status)
-        shift = act & (iot_n >= lpos) & (iot_n < q - one)
-        aorder2 = jnp.where(shift, pltpu.roll(aorder, i32(np_ - 1), axis=1),
-                            aorder)
-        aorder2 = jnp.where(act & (iot_n >= q - one), i32(-1), aorder2)
-        statk2 = jnp.where(shift, pltpu.roll(statk, i32(np_ - 1), axis=1),
-                           statk)
-        statk2 = jnp.where(act & (iot_n >= q - one), f32(0.0), statk2)
-        b2 = jnp.where(shift, pltpu.roll(b, i32(np_ - 1), axis=1), b)
-        b2 = jnp.where(act & (iot_n >= q - one), f32(0.0), b2)
+        aorder2 = jnp.where(act & (iot_n == lpos), i32(-1), aorder)
+        statk2 = jnp.where(act & (iot_n == lpos), f32(0.0), statk)
+        b2 = jnp.where(act & (iot_n == lpos), f32(0.0), b)
         q2 = jnp.where(act, q - one, q)
-        x2, u2 = closed_form(K2, b2, q2)
+        x2, u2 = closed_form(K2, b2, statk2)
         x2 = jnp.where(act, x2, x)
         u2 = jnp.where(act, u2, uv)
         it2 = jnp.where(act, it + one, it)
@@ -929,14 +943,14 @@ def _kernel_packed_warm(
     zc = jnp.zeros((P, 1), jnp.int32)
     init = (
         x, K, uvec, status, aorder, statk, jnp.zeros((P, np_), f32),
-        q, it0, jnp.full((P, 1), RUNNING, jnp.int32), zc, zc - 1, zc,
+        q, it0, jnp.full((P, 1), RUNNING, jnp.int32), zc, zc - 1, zc, q,
     )
     out = _packed_iterate(
         G, C, l_ref[0], u_ref[0], xl_ref[0], xu_ref[0],
         tr0, init, n=n, m=m, np_=np_, mp_=mp_, mtp_=mtp_,
         max_iter=max_iter, P=P)
     (x, K, uvec, status, aorder, statk, nplus, q, it, term, skip1,
-     sc_idx, sc_st) = out
+     sc_idx, sc_st, sc_slot) = out
     term = jnp.where(term == i32(RUNNING), i32(MAX_ITER_REACHED),
                      term).astype(jnp.int32)
 
@@ -949,7 +963,7 @@ def _kernel_packed_warm(
         jnp.int32, (P, 8), 1) == 0).astype(f32)
     zero = jnp.zeros((P, 1), jnp.int32)
     scal_out[0] = jnp.concatenate(
-        [q, it, term, skip1, sc_idx, sc_st, zero, zero], axis=1)
+        [q, it, term, skip1, sc_idx, sc_st, sc_slot, zero], axis=1)
 
 
 # packs proven (or healed) at runtime, keyed by padded (np_, mp_):
@@ -1102,17 +1116,25 @@ def run_loop_pallas(pb32: QPProblem, state0, max_iter: int,
     # per-slot activation status (f32) of the initially-active constraints
     # (one-hot contraction, not take_along_axis: TPU gather is ~100x slower)
     k = jnp.arange(n)
-    valid0 = k[None, :] < state0.q[:, None]
+    valid0 = ao >= 0   # hole-aware (resumed kernel states may hold holes)
     oh0 = jax.nn.one_hot(jnp.where(valid0, ao, -1), m + n, dtype=f32)
     statk_n = jnp.einsum("bkj,bj->bk", oh0, state0.status.astype(f32))
     sk0 = jnp.zeros((B, 1, np_), f32).at[:, 0, :n].set(statk_n)
     sc_idx0 = jnp.where(state0.sc_idx >= m, state0.sc_idx - m + mp_,
                         state0.sc_idx)
+    # pending-candidate slot: the unique FREE slot holding a nonzero
+    # multiplier (a mid-solve resume with skip1=1), else the first free
+    # slot; for a compact fresh state this is exactly q
+    free0 = ao < 0
+    cand_key = jnp.where(free0 & (state0.u[:, :n] != 0), k[None, :],
+                         jnp.where(free0, n + k[None, :],
+                                   2 * n + k[None, :]))
+    sc_slot0 = jnp.argmin(cand_key, axis=1).astype(jnp.int32)
     scal0 = jnp.stack(
         [
             state0.q, state0.it, state0.term,
             state0.skip1.astype(jnp.int32), sc_idx0, state0.sc_status,
-            jnp.zeros_like(state0.q), jnp.zeros_like(state0.q),
+            sc_slot0, jnp.zeros_like(state0.q),
         ],
         axis=-1,
     )[:, None, :].astype(jnp.int32)
@@ -1346,7 +1368,7 @@ def run_warm_loop_pallas(pb32: QPProblem, H, Ns, status, aorder, q,
     # (see fast._refine_batch) and this runs on EVERY warm trajectory step.
     f32_ = jnp.float32
     k = jnp.arange(n)
-    valid = k[None, :] < q[:, None]
+    valid = aorder >= 0   # hole-aware (free-list slot layout)
     idxs = jnp.where(valid, aorder, 0)
     oh = jax.nn.one_hot(jnp.where(valid, idxs, -1), m + n, dtype=f32_)
     sts = jnp.einsum("bkj,bj->bk", oh,

@@ -419,7 +419,10 @@ def _refine_batch(pbs: QPProblem, st: FastState, ir_steps: int) -> GIResult:
     m = pbs.C.shape[1]
     f64, f32 = jnp.float64, jnp.float32
     k = jnp.arange(n)
-    valid = k[None, :] < st.q[:, None]                      # (B, n)
+    # hole-aware validity: the Pallas kernel manages slots as a free list
+    # (aorder == -1 marks free slots); compact XLA states satisfy the same
+    # predicate, so this covers both producers
+    valid = st.aorder >= 0                                  # (B, n)
     idxs = jnp.where(valid, st.aorder, 0)                   # (B, n)
     # ALL slot gathers below go through ONE one-hot tensor + matmuls:
     # XLA's native gather lowering on TPU costs ~100x the equivalent
@@ -982,6 +985,13 @@ def _init_fast_from_carry(pb: QPProblem, H, Ns, status, aorder,
     n = pb.n
     dtype = pb.G.dtype
     k = jnp.arange(n)
+    # the Pallas kernel's carries may hold slot HOLES (free-list layout,
+    # aorder == -1); this XLA path works in compact activation order, so
+    # compact the carried slots first (stable: active slots keep their
+    # relative order)
+    order = jnp.argsort(jnp.where(aorder >= 0, k, n + k))
+    aorder = jnp.take(aorder, order)
+    Ns = jnp.take(Ns, order, axis=0)
     _, b_act = _active_normals_and_bounds(pb, status, aorder, q)
     x = Ns.T @ b_act - H @ pb.a
     u = Ns @ (pb.a + pb.G @ x)
