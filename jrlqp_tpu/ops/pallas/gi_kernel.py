@@ -411,6 +411,7 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
     iotf_mt = iot_mt.astype(f32)
     iotf_n = iot_n.astype(f32)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * np_), 2)
+    laneC = jax.lax.broadcasted_iota(jnp.int32, (1, 1, mp_), 2)
     real_n = iot_n < i32(n)
     real_m = iot_m < i32(m)
 
@@ -467,11 +468,12 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
             (sc_st_n == i32(UPPER)) | (sc_st_n == i32(UPPER_BOUND)),
             f32(-1), f32(1))
         is_bnd = sc_st_n >= i32(LOWER_BOUND)
-        # column gather as a one-hot MXU matvec (exact: single term), not
-        # a C-sized VPU mask+reduce
-        oh_c = (iot_m == jnp.clip(sc_idx_n, zero_i,
-                                  i32(mp_ - 1))).astype(f32)     # (P, mp_)
-        crow = _bmv(Ct, oh_c)                                    # (P, np_)
+        # column gather as a VPU lane mask+reduce: a one-hot MXU matvec
+        # costs a full pipelined MXU pass (~10x this, measured via the
+        # dead-matvec probe at pack 24)
+        cmaskL = laneC == jnp.clip(sc_idx_n, zero_i,
+                                   i32(mp_ - 1))[:, :, None]
+        crow = jnp.sum(jnp.where(cmaskL, Ct, f32(0.0)), axis=2)  # (P, np_)
         e = (iot_n == (sc_idx_n - i32(mp_))).astype(f32)
         nplus_n = jnp.where(do_select, sign * jnp.where(is_bnd, e, crow),
                             nplus)
@@ -536,10 +538,10 @@ def _packed_iterate(G, Ct, lo, up, xlo, xup, tr0, init,
                              term)
 
         # ---- remove-side rank-one vectors ----
-        # N* row l = K column np_+lpos: one-hot MXU matvec gather
-        oh_l = (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_), 1)
-                == (i32(np_) + lpos)).astype(f32)               # (P, 2np_)
-        nl = bmv(K, oh_l)                                       # (P, np_)
+        # N* row l = K column np_+lpos: VPU lane mask+reduce (cheaper than
+        # an MXU matvec pass, see crow above)
+        lmaskL = lane2 == (i32(np_) + lpos)[:, :, None]
+        nl = jnp.sum(jnp.where(lmaskL, K, f32(0.0)), axis=2)    # (P, np_)
         v = bmv(G, nl)
         w = _vecmat(v, K)[:, np_:]
         wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)), axis=1,
@@ -719,6 +721,7 @@ def _kernel_packed_fused(
     iot_mt = jax.lax.broadcasted_iota(jnp.int32, (1, mtp_), 1)
     iotf_mt = iot_mt.astype(f32)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * np_), 2)
+    laneC = jax.lax.broadcasted_iota(jnp.int32, (1, 1, mp_), 2)
     lo, up, xlo, xup = l_ref[0], u_ref[0], xl_ref[0], xu_ref[0]
     Ct = C_ref[0]
     real_m = iot_m < i32(m)
@@ -754,7 +757,8 @@ def _kernel_packed_fused(
         is_bnd = idx >= i32(mp_)
         st = jnp.where(is_bnd, i32(FIXED), i32(EQUALITY))
         cidx = jnp.clip(idx, i32(0), i32(mp_ - 1))
-        crow = _bmv(Ct, (iot_m == cidx).astype(f32))             # (P, np_)
+        cmaskL = laneC == cidx[:, :, None]
+        crow = jnp.sum(jnp.where(cmaskL, Ct, f32(0.0)), axis=2)  # (P, np_)
         e = (iot_n == (idx - i32(mp_))).astype(f32)
         nplus = jnp.where(is_bnd, e, crow)                      # sign +1
         zr = _vecmat(nplus, K)
@@ -904,9 +908,8 @@ def _kernel_packed_warm(
         K, uv, status, aorder, statk, b, q, x, it = c
         mn, lpos = worst(uv, statk)
         act = mn < utol                              # (P, 1)
-        oh_l = (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_), 1)
-                == (i32(np_) + lpos)).astype(f32)
-        nl = _bmv(K, oh_l)                                      # (P, np_)
+        lmaskL = lane2 == (i32(np_) + lpos)[:, :, None]
+        nl = jnp.sum(jnp.where(lmaskL, K, f32(0.0)), axis=2)    # (P, np_)
         v = _bmv(G, nl)
         w = _vecmat(v, K)[:, np_:]
         wl = jnp.sum(jnp.where(iot_n == lpos, w, f32(0.0)), axis=1,
