@@ -9,8 +9,9 @@ chips are visible (normally 1) and reports vs_baseline against the per-chip
 target.
 
 Solver selection (BENCH_SOLVER): "pallas" (default) = the whole-solve
-Pallas kernel (f32 explicit-form GI loop, one grid program per problem,
-all state in VMEM) + batched mixed-precision iterative refinement with
+Pallas kernel (f32 explicit-form GI loop, 24 problems packed per grid
+program, lane-major K = [H | N*^T] operator with hole-based active-set
+slots, all state in VMEM) + batched mixed-precision iterative refinement with
 float64 residuals -- the TPU-native design (f64 is software-emulated on
 TPU, so the hot loop is f32 on the MXU and f64 appears only in one stacked
 residual gemv); "refined" = the same math as XLA-composed ops; "mixed" =
