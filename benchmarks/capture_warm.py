@@ -61,7 +61,8 @@ PACK = int(os.environ.get("WARM_PACK", "16"))
 def _write_artifact(out):
     print(json.dumps(out))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "out", "warm_start.json")
+                        "out", os.environ.get("WARM_OUT",
+                                              "warm_start.json"))
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
     # stage the evidence in the same run that produced it (round-4 verdict:
