@@ -138,6 +138,26 @@ def test_fused_init_equality_only_lane_mix():
                                atol=1e-7)
 
 
+def test_vertex_touch_candidate_relocation():
+    """Regression for the hole-based slot layout: when a solve touches a
+    full-rank vertex (q == n), the pending candidate provisionally pins a
+    PADDED slot and must be relocated into the slot freed by the
+    forced dual-step removal -- without that, one multiplier lands in
+    padding and is silently truncated from the outputs (KKT blows up while
+    x stays near-correct)."""
+    opt = SolverOptions(max_iter=120)
+    # small n + many tight constraints => vertex touches are common
+    pbs = random_qp_batch(jax.random.key(41), 12, 4, 16, act_frac=0.9)
+    res = solve_refined_pallas(pbs, opt, interpret=True, pack=4)
+    rx = jax.vmap(lambda p: solve_refined(p, opt))(pbs)
+    ok = np.asarray(res.status) == 0
+    assert ok.all()
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(rx.x),
+                               atol=1e-7)
+    resid = jax.vmap(kkt_residual)(res.x, res.multipliers, pbs)
+    assert float(jnp.max(np.asarray(resid))) <= 1e-8, np.asarray(resid)
+
+
 def test_warm_carry_kernel_large_drift():
     """The in-kernel warm-carry prologue (closed-form point + u<0
     deactivation downdates + GI loop, one launch) must reach the same
